@@ -1,0 +1,101 @@
+"""Text functions — all JVM-side Column expressions (whole-stage codegen).
+
+The tokenizer is the engine's hottest function (it runs over every byte of a
+100 TB corpus), so it is a pure Catalyst expression: `lower` + regex split +
+filter. No Python executes per row. The same regex is mirrored in the DuckDB
+oracle SQL (string_split_regex) so correctness is checked end-to-end.
+
+Reference parity: mtix tokenization happens inside its remote CNN model; the
+contract we keep is "text column in → ranked candidates out"
+(/root/reference/src/mtix/predictors.py:22-35). The code-aware rule
+(lowercase, split on non-[a-z0-9_]) follows BASELINE.json:north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+# DuckDB-side mirror of tokenize(); kept adjacent so they can't drift.
+TOKEN_SPLIT_SQL_DUCKDB = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9_]+'), t -> t <> '')"
+)
+
+# tiny embedded stopword/profile sets for the language-ID heuristic — these are
+# *function-word profiles*, not external data.
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "es"],
+}
+_STOPWORDS = _LANG_PROFILES["en"]
+
+
+def tokenize(col: Column | str) -> Column:
+    """content -> array<string> of lowercase [a-z0-9_]+ tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.lower(c), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count (training-data pipeline op)."""
+    return F.size(tokenize(col))
+
+
+def language_id(col: Column | str) -> Column:
+    """N-gram-free heuristic language ID: score each language by its
+    function-word hit count over the token set; ties/zero -> 'und'.
+
+    Pure Column expression: one tokenize, 4 aggregate counts, greatest().
+    """
+    toks = tokenize(col)
+    scores = {
+        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in ["es", "fr", "de", "en"]:
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    0.4·length_score + 0.3·alpha_ratio + 0.3·stopword_presence.
+
+    All Column math — no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    # length score: saturates at 1000 chars
+    len_score = F.least(n.cast("double") / F.lit(1000.0), F.lit(1.0))
+    # alphanumeric ratio
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    # stopword presence ratio (distinct stopwords seen / profile size)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    sw_ratio = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("double") / F.lit(
+        float(len(_STOPWORDS))
+    )
+    q = F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * sw_ratio
+    return F.when(n_tok > 0, q).otherwise(F.lit(0.0))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """64-bit rolling-hash-style fingerprint of the token stream: xxhash64 of
+    the canonical (tokenized, space-joined) form — whitespace/punct-invariant.
+    """
+    return F.xxhash64(F.array_join(tokenize(col), " "))
+
+
+def content_sha256(col: Column | str) -> Column:
+    """Per-row invariant vs. the source table (BASELINE.json:input_hint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)

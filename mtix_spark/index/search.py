@@ -1,0 +1,246 @@
+"""BM25 top-k query engine.
+
+Two paths, one contract (per query: top-k (doc_id, score), tie-break
+score DESC / doc_id ASC — the deterministic total order SURVEY.md §2 fixes
+for the reference's unordered run dicts, /root/reference/src/mtix/predictors.py:34):
+
+1. `bm25_brute(...)` — pure DataFrame/SQL brute force. Catalyst-only plan:
+   query-term literal IN-filter (pushed to the parquet scan), broadcast join
+   of the tiny query-term relation, partial+final hash aggregation, and
+   TakeOrderedAndProject for the global top-k. This is the correctness oracle
+   AND a legitimate scale path (it only ever touches postings of query terms).
+
+2. `bm25_topk_segments(...)` — the physical-index path: per-segment
+   MaxScore-pruned term-at-a-time kernels (numpy, Arrow-batched) over
+   delta+varint posting lists with block-max metadata; per-segment top-k,
+   then a tiny global merge. Segment fan-out = executor parallelism; the
+   global merge moves only n_segments×k rows.
+
+BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), wtf = tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)),
+score = Σ_terms idf·wtf with k1=1.2, b=0.75 (BASELINE.json:north_star).
+Query terms are deduplicated (multiplicity ignored) — mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mtix_spark.functions.text import tokenize
+from mtix_spark.index.build import IndexPaths, K1, B
+from mtix_spark.index.codec import decode_varint, delta_decode
+
+SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
+
+
+def _queries_df(spark: SparkSession, queries: DataFrame | Iterable) -> DataFrame:
+    if isinstance(queries, DataFrame):
+        return queries
+    return spark.createDataFrame(list(queries), "query_id long, text string")
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term) — distinct tokenized query terms."""
+    return queries.select(
+        "query_id", F.explode(F.array_distinct(tokenize("text"))).alias("term")
+    )
+
+
+def bm25_brute(
+    tf: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 100,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Brute-force BM25 top-k, all Catalyst.
+
+    tf:       (term, doc_id, tf)
+    doclens:  (doc_id, dl)
+    queries:  (query_id, text)
+    returns   (query_id, rank, doc_id, score)
+    """
+    qt = query_terms(queries)
+    # literal IN-filter so the term predicate reaches the parquet scan
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    hits = tf.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    if dictionary is not None:
+        dfreq = dictionary.select("term", "df").filter(F.col("term").isin(terms))
+    else:
+        dfreq = (
+            tf.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physical-index path
+# ---------------------------------------------------------------------------
+
+
+def _maxscore_kernel(
+    postings: pd.DataFrame,
+    dl_by_doc: np.ndarray,
+    seg_base: int,
+    seg_n: int,
+    queries: list[tuple[int, list[str]]],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Term-at-a-time BM25 with MaxScore pruning over one segment.
+
+    Terms are processed in descending upper-bound order (UB = idf ×
+    block-max wtf). Once the remaining terms' summed UB falls below the
+    current k-th best accumulated score, docs not yet seen cannot enter the
+    top-k, so remaining posting lists only update existing candidates
+    (exactness argument: candidate scores only grow, so θ at the split is a
+    lower bound of the final k-th candidate score). Block-max metadata lets
+    the restricted phase skip whole 128-entry blocks with no candidates.
+    """
+    by_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    ubs: dict[str, float] = {}
+    for r in postings.itertuples(index=False):
+        ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+        tfs = decode_varint(r.tfs_bin).astype(np.float64)
+        bm = np.asarray(r.block_max_wtf, dtype=np.float64)
+        by_term[r.term] = (ids, tfs, bm)
+        ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) if bm.size else 0.0
+
+    out = {"query_id": [], "doc_id": [], "score": []}
+    for qid, terms in queries:
+        terms = [t for t in terms if t in by_term and idf.get(t, 0.0) > 0.0]
+        if not terms:
+            continue
+        # deterministic processing order: UB desc, term asc
+        terms = sorted(terms, key=lambda t: (-ubs[t], t))
+        suffix_ub = np.cumsum([ubs[t] for t in terms][::-1])[::-1]
+        acc = np.zeros(seg_n, dtype=np.float64)
+        restricted = False
+        for i, t in enumerate(terms):
+            ids, tfs, bm = by_term[t]
+            if not restricted and i > 0:
+                nnz = np.count_nonzero(acc)
+                if nnz >= k:
+                    theta = np.partition(acc, seg_n - k)[seg_n - k]
+                    if suffix_ub[i] < theta:
+                        restricted = True
+            local = ids - seg_base
+            if restricted:
+                # block-max skip: only blocks holding current candidates
+                w_idf = idf[t]
+                bs = 128
+                for bi in range(bm.size):
+                    sl = slice(bi * bs, min((bi + 1) * bs, local.size))
+                    cand = acc[local[sl]] > 0.0
+                    if not cand.any():
+                        continue
+                    li = local[sl][cand]
+                    tfv = tfs[sl][cand]
+                    dl = dl_by_doc[li]
+                    acc[li] += w_idf * tfv * (K1 + 1.0) / (
+                        tfv + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            else:
+                dl = dl_by_doc[local]
+                acc[local] += idf[t] * tfs * (K1 + 1.0) / (
+                    tfs + K1 * (1.0 - B + B * dl / avgdl)
+                )
+        nz = np.flatnonzero(acc)
+        if nz.size == 0:
+            continue
+        kk = min(k, nz.size)
+        top = nz[np.argpartition(-acc[nz], kk - 1)[:kk]]
+        order = np.lexsort((top, -acc[top]))  # score desc, doc_id asc
+        top = top[order]
+        out["query_id"].extend([qid] * top.size)
+        out["doc_id"].extend((top + seg_base).tolist())
+        out["score"].extend(np.round(acc[top], SCORE_DECIMALS).tolist())
+    return pd.DataFrame(out)
+
+
+def bm25_topk_segments(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[tuple[int, str]],
+    k: int = 100,
+) -> DataFrame:
+    """Top-k over the physical segment index. Returns (query_id, rank, doc_id, score)."""
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    n_docs, avgdl, seg_size = stats["n_docs"], stats["avgdl"], stats["seg_size"]
+
+    from mtix_spark.functions.text import TOKEN_SPLIT_RE
+    import re
+
+    tokenized = [
+        (qid, sorted(set(t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t)))
+        for qid, text in queries
+    ]
+    all_terms = sorted({t for _, ts in tokenized for t in ts})
+
+    dict_rows = (
+        spark.read.parquet(paths.dictionary)
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    idf = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in dict_rows
+    }
+
+    postings = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
+    doclens = spark.read.parquet(paths.doclens)
+
+    def kernel(key, p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        base = seg * seg_size
+        n = min(seg_size, n_docs - base)
+        dl = np.zeros(n, dtype=np.float64)
+        if len(d):
+            dl[d["doc_id"].to_numpy() - base] = d["dl"].to_numpy()
+        if not len(p):
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
+
+    per_seg = (
+        postings.groupBy("seg")
+        .cogroup(doclens.groupBy("seg"))
+        .applyInPandas(kernel, "query_id long, doc_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,126 @@
+"""Integration tests: index build + BM25 engine vs. brute-force oracle
+(SURVEY.md §5 engine test plan)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtix_spark.corpus import synth_corpus, synth_queries
+from mtix_spark.index.build import (
+    assign_doc_ids,
+    build_index,
+    build_tf,
+    corpus_stats,
+    read_manifest,
+    verify_sha256,
+)
+from mtix_spark.index.search import bm25_brute, bm25_topk_segments
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 4)) for r in df.collect()
+    )
+
+
+def test_corpus_deterministic_across_parallelism(spark):
+    a = synth_corpus(spark, 200, n_parts=2).orderBy("repo", "path", "commit").collect()
+    b = synth_corpus(spark, 200, n_parts=7).orderBy("repo", "path", "commit").collect()
+    assert a == b
+
+
+def test_doc_ids_dense_and_deterministic(spark):
+    docs4 = assign_doc_ids(synth_corpus(spark, 300), 4).select("doc_id", "repo", "path")
+    docs7 = assign_doc_ids(synth_corpus(spark, 300), 7).select("doc_id", "repo", "path")
+    a, b = docs4.orderBy("doc_id").collect(), docs7.orderBy("doc_id").collect()
+    assert a == b  # id = rank in total order, invariant to partitioning
+    ids = [r["doc_id"] for r in a]
+    assert ids == list(range(300))
+
+
+def test_sha256_invariant(spark, small_docs):
+    corpus = synth_corpus(spark, 1000)
+    assert verify_sha256(small_docs, corpus) == 0
+
+
+def test_tf_matches_python(spark, small_docs):
+    row = small_docs.filter(F.col("doc_id") == 5).select("content").collect()[0]
+    import re
+    from collections import Counter
+
+    expected = Counter(t for t in re.split(r"[^a-z0-9_]+", row["content"].lower()) if t)
+    got = {
+        r["term"]: r["tf"]
+        for r in build_tf(small_docs).filter(F.col("doc_id") == 5).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_segment_engine_matches_brute_force(spark, small_docs, small_index):
+    n, avgdl = corpus_stats(small_docs)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 25).collect()]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    tf = build_tf(small_docs)
+    dl = small_docs.select("doc_id", F.col("doc_len").alias("dl"))
+    brute = _rows(bm25_brute(tf, dl, qdf, n, avgdl, k=50))
+    seg = _rows(bm25_topk_segments(spark, small_index, queries, k=50))
+    assert brute == seg  # rank-identical top-k, scores to 1e-4
+
+
+def test_topk_tiebreak_doc_id_asc(spark, small_docs, small_index):
+    # single-term query: docs with equal tf+dl score identically; ranks must
+    # break ties by doc_id ascending
+    res = bm25_topk_segments(spark, small_index, [(1, "get_set")], k=100).collect()
+    rows = sorted((r["rank"], r["doc_id"], r["score"]) for r in res)
+    for (r1, d1, s1), (r2, d2, s2) in zip(rows, rows[1:]):
+        assert s1 > s2 or (s1 == s2 and d1 < d2)
+
+
+def test_oov_and_empty_queries(spark, small_index):
+    out = bm25_topk_segments(spark, small_index, [(1, "zz_not_in_vocab_zz"), (2, "...")], k=10)
+    assert out.count() == 0
+
+
+def test_manifest_metrics(small_index):
+    m = read_manifest(small_index)
+    assert len(m["segments"]) == 6
+    for seg in m["segments"].values():
+        assert seg["postings"] > 0 and seg["posting_lists"] > 0
+        assert seg["max_doc"] >= seg["min_doc"]
+    assert m["stats"]["n_docs"] == 1000
+
+
+def test_checkpoint_resume_identical(spark, small_docs, tmp_path):
+    """Kill-after-partial-build → resume → identical index (SURVEY.md §5)."""
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "partial")
+    build_index(spark, small_docs, full, n_segments=4)
+
+    # simulate a killed build: build fully, then delete 2 segments from the
+    # manifest + data so the resume path must rebuild exactly those
+    build_index(spark, small_docs, part, n_segments=4)
+    man_path = os.path.join(part, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    for seg in ["1", "3"]:
+        del man["segments"][seg]
+        shutil.rmtree(os.path.join(part, "postings", f"seg={seg}"))
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+
+    build_index(spark, small_docs, part, n_segments=4, resume=True)
+
+    def index_content(root):
+        p = spark.read.parquet(os.path.join(root, "postings")).select(
+            "seg", "term", "df_seg", F.hex(F.col("doc_ids_bin")), F.hex(F.col("tfs_bin"))
+        )
+        return sorted(map(tuple, p.collect()))
+
+    assert index_content(full) == index_content(part)
+    with open(os.path.join(part, "manifest.json")) as f:
+        assert len(json.load(f)["segments"]) == 4
