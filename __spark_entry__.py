@@ -1,38 +1,831 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is exposed here as a
+(queries(), oracle_sql()) pair; the DuckDB oracle mirrors the Spark
+expression tree closely enough (same constants, same operation order,
+round-to-6 discipline) that the driver's value-hash comparison is exact.
+
+Queries marked "no oracle" (hash-function-dependent or approximate) get the
+driver's rows-only check; their correctness is asserted in tests/ against
+engine-internal oracles instead.
 """
 
 from __future__ import annotations
 
+import re
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mtix_spark.dedup import (
+    MINHASH_PRIME,
+    ROWS_PER_BAND,
+    _perm_params,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_dup_pairs,
+    token_hash,
+)
+from mtix_spark.functions.scalar import clamp_year, replace_brackets
+from mtix_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    tokenize,
+)
+from mtix_spark.pipeline import fuse_runs_avg, threshold_filter, top_n_per_query
+from mtix_spark.similarity import cosine, knn_cosine_brute, knn_cosine_lsh
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim into the oracle SQL)
+# ---------------------------------------------------------------------------
+
+K1, B = 1.2, 0.75
+TOPK = 10
+FIXED_QUERIES = [
+    (1, "hash join"),
+    (2, "table scan fast"),
+    (3, "row value part"),
+    (4, "merge batch"),
+    (5, "slow query agg key"),
+]
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# DuckDB mirror of mtix_spark.functions.text.tokenize
+TOK = "list_filter(string_split_regex(lower({c}), '[^a-z0-9_]+'), t -> t <> '')"
+
+
+def _q_terms() -> list[tuple[int, str]]:
+    """Distinct sorted query terms, same dedup as search.query_terms."""
+    out = []
+    for qid, text in FIXED_QUERIES:
+        for t in sorted({t for t in re.split("[^a-z0-9_]+", text.lower()) if t}):
+            out.append((qid, t))
+    return out
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_tf(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) over the driver `documents` table (col `text`)."""
+    return (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine core queries
+# ---------------------------------------------------------------------------
+
+
+def q_tf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_tf(_tbl(spark, sf_dir, "documents"))
+
+
+def q_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _docs_tf(_tbl(spark, sf_dir, "documents"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(F.size(tokenize("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("dl").cast("double")), 6).alias("avgdl"),
+    )
+
+
+def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> DataFrame:
+    """Top-k BM25 for the fixed query set over `documents`.
+
+    physical=False → pure-Catalyst brute path (bm25_brute);
+    physical=True  → build the segment index (delta+varint postings,
+    block-max) in a temp dir and answer via the MaxScore kernel. Both paths
+    share one oracle — the point of the correctness gate.
+    """
+    from mtix_spark.index.search import bm25_brute
+
+    docs = _tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dl = docs.select("doc_id", F.size(tokenize("text")).alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
+    if not physical:
+        tf = _docs_tf(docs)
+        qdf = spark.createDataFrame(FIXED_QUERIES, "query_id long, text string")
+        out = bm25_brute(tf, dl, qdf, n_docs, avgdl, k=TOPK)
+    else:
+        from mtix_spark.index.build import assign_doc_ids, build_index
+        from mtix_spark.index.search import bm25_topk_segments
+
+        corpus = docs.select(
+            F.lit("documents").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        with_ids = assign_doc_ids(corpus, 8)
+        # dense ids assigned by (repo, path, commit) order != original doc_id;
+        # map back through the docmap (path carries the original id)
+        idx_dir = tempfile.mkdtemp(prefix="mtix_idx_")
+        paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+        res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK)
+        docmap = spark.read.parquet(paths.docmap).select(
+            F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+        )
+        # scores are docID-independent; re-rank on original ids for the oracle
+        res = (
+            res.withColumnRenamed("doc_id", "dense_id")
+            .join(docmap, "dense_id")
+            .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (
+            res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_over_documents(spark, sf_dir, physical=False)
+
+
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_over_documents(spark, sf_dir, physical=True)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+q(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def _language_id_oracle() -> str:
+    from mtix_spark.functions.text import _LANG_PROFILES
+
+    toks = TOK.format(c="text")
+    cols = {
+        lang: f"len(list_intersect(list_distinct({toks}), {words!r}))"
+        for lang, words in _LANG_PROFILES.items()
+    }
+    en, de, fr, es = cols["en"], cols["de"], cols["fr"], cols["es"]
+    return f"""
+SELECT doc_id,
+  CASE
+    WHEN {en} > 0 AND {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+    WHEN {de} > 0 AND {de} >= {fr} AND {de} >= {es} THEN 'de'
+    WHEN {fr} > 0 AND {fr} >= {es} THEN 'fr'
+    WHEN {es} > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+def _quality_oracle() -> str:
+    from mtix_spark.functions.text import _STOPWORDS
+
+    toks = TOK.format(c="text")
+    return f"""
+SELECT doc_id,
+  round(CASE WHEN len({toks}) > 0 THEN
+    0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+    + 0.3 * (CASE WHEN length(text) > 0 THEN
+        length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+        / length(text)::DOUBLE ELSE 0.0 END)
+    + 0.3 * (len(list_intersect(list_distinct({toks}), {_STOPWORDS!r}))::DOUBLE / 10.0)
+  ELSE 0.0 END, 6) AS quality
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64 has no portable SQL twin → rows-only check (tested in tests/)
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_tbl(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.15)
+
+
+def _ngram_jaccard_oracle() -> str:
+    toks = TOK.format(c="text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+    range(len({toks}) - 2),
+    i -> {toks}[i+1] || ' ' || {toks}[i+2] || ' ' || {toks}[i+3]
+  ))) AS sh
+  FROM documents WHERE len({toks}) >= 3
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS ni
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ni / (sa.n + sb.n - ni)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(ni / (sa.n + sb.n - ni)::DOUBLE, 6) >= 0.15
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_params())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct({toks})) AS term FROM documents
+),
+th AS (
+  SELECT id, term,
+         CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT AS BIGINT) AS h
+  FROM toks
+),
+perms(perm, a, b) AS (VALUES {perms}),
+mh AS (
+  SELECT id, perm, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM th CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, perm // {ROWS_PER_BAND} AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS bandsig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bandsig = b.bandsig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS ni
+  FROM toks a JOIN toks b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(i.ni / (sa.n + sb.n - i.ni)::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(i.ni / (sa.n + sb.n - i.ni)::DOUBLE, 6) >= 0.4
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash32(_tbl(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle() -> str:
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT id, term, count(*)::BIGINT AS tf,
+         CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT AS BIGINT) AS h
+  FROM toks GROUP BY 1, 2
+),
+signed AS (
+  SELECT id, bit.range AS bit,
+         sum(tf * (((h >> bit.range) & 1) * 2 - 1)) AS s
+  FROM tf CROSS JOIN range(32) bit
+  GROUP BY 1, 2
+)
+SELECT id AS doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM signed GROUP BY 1
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(_tbl(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle()
+    return f"""
+WITH sim AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = knn_cosine_brute(_tbl(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def _knn_oracle() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+    def dot(x, y):
+        return f"list_sum(list_transform(range(64), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE))"
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot('q.qv', 'e.embedding')}
+               / (sqrt({dot('q.qv', 'q.qv')}) * sqrt({dot('e.embedding', 'e.embedding')})),
+               6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (sign-LSH buckets) → no SQL oracle; recall tested vs brute
+    out = knn_cosine_lsh(_tbl(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtix_spark.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def _embed_near_dup_oracle() -> str:
+    def dot(x, y):
+        return f"list_sum(list_transform(range(64), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE))"
+
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot('a.embedding', 'b.embedding')}
+             / (sqrt({dot('a.embedding', 'a.embedding')}) * sqrt({dot('b.embedding', 'b.embedding')})),
+             6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({dot('a.embedding', 'b.embedding')}
+            / (sqrt({dot('a.embedding', 'a.embedding')}) * sqrt({dot('b.embedding', 'b.embedding')})),
+            6) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# mtix pipeline parity (runs, fusion, threshold, dims) over events/TPC-H
+# ---------------------------------------------------------------------------
+
+
+def q_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    run = ev.select(
+        F.col("user_id").alias("q_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("score"),
+    )
+    return top_n_per_query(run, 3).select(
+        "q_id", "p_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_run_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    r1 = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.col("user_id").alias("q_id"), F.col("event_type").alias("p_id"))
+        .agg(F.sum("value").alias("score"))
+    )
+    r2 = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.col("user_id").alias("q_id"), F.col("event_type").alias("p_id"))
+        .agg(F.sum("value").alias("score"))
+    )
+    return fuse_runs_avg(r1, r2).select(
+        "q_id", "p_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_threshold_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    vmax = ev.agg(F.max("value")).collect()[0][0]
+    run = ev.select(
+        F.col("user_id").alias("q_id"),
+        F.col("event_id").alias("p_id"),
+        (F.col("value") / F.lit(float(vmax))).alias("score"),
+    )
+    out = top_n_per_query(threshold_filter(run, 0.48), 5)
+    return out.select("q_id", "p_id", F.round("score", 6).alias("score"))
+
+
+def q_dim_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def q_intersect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("ts") < F.lit("2024-01-16"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    second = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-16"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return first.intersect(second)
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_sanitize_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3/F4 parity: null-fill cascade + clamp over order years
+    o = _tbl(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("int")).otherwise(
+        F.year("o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        clamp_year(F.coalesce(raw, F.lit(2023)), 1902).alias("pub_year"),
+    )
+
+
+def q_replace_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 parity: bracket rewrite on a synthesized bracketed column
+    docs = _tbl(spark, sf_dir, "documents")
+    s = F.concat(F.lit("["), F.substring("text", 1, 30), F.lit("] [tail]"))
+    return docs.select("doc_id", replace_brackets(s).alias("fixed"))
+
+
+def q_query_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 parity: '{a}|{b}|{c}' concat template
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.col("source"), F.substring("text", 1, 40)
+        ).alias("qtext"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tf_postings": q_tf_postings,
+        "term_dict": q_term_dict,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_index_topk": q_bm25_index_topk,
+        "doc_sha256": q_doc_sha256,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "embed_near_dup": q_embed_near_dup,
+        "topn_per_key": q_topn_per_key,
+        "run_fusion": q_run_fusion,
+        "threshold_topn": q_threshold_topn,
+        "dim_join_revenue": q_dim_join_revenue,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "semi_join": q_semi_join,
+        "intersect_pairs": q_intersect_pairs,
+        "events_tumbling": q_events_tumbling,
+        "sanitize_years": q_sanitize_years,
+        "replace_brackets": q_replace_brackets,
+        "query_template": q_query_template,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = TOK.format(c="text")
+    return {
+        "tf_postings": f"""
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+) GROUP BY 1, 2
+""",
+        "term_dict": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1
+""",
+        "corpus_stats": f"""
+SELECT count(*)::BIGINT AS n_docs,
+       round(avg(len({toks})::DOUBLE), 6) AS avgdl
+FROM documents
+""",
+        "bm25_topk": _bm25_oracle(),
+        "bm25_index_topk": _bm25_oracle(),
+        "doc_sha256": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+        "token_count": f"SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents",
+        "language_id": _language_id_oracle(),
+        "quality_score": _quality_oracle(),
+        "dedup_exact": """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+""",
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "knn_cosine": _knn_oracle(),
+        "embed_near_dup": _embed_near_dup_oracle(),
+        "topn_per_key": """
+SELECT q_id, p_id, round(score, 6) AS score FROM (
+  SELECT user_id AS q_id, event_id AS p_id, value AS score,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+) WHERE rn <= 3
+""",
+        "run_fusion": """
+WITH r1 AS (
+  SELECT user_id AS q_id, event_type AS p_id, sum(value) AS s
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+),
+r2 AS (
+  SELECT user_id AS q_id, event_type AS p_id, sum(value) AS s
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+)
+SELECT q_id, p_id, round((r1.s + r2.s) / 2.0, 6) AS score
+FROM r1 JOIN r2 USING (q_id, p_id)
+""",
+        "threshold_topn": """
+WITH run AS (
+  SELECT user_id AS q_id, event_id AS p_id,
+         value / (SELECT max(value) FROM events) AS score
+  FROM events
+)
+SELECT q_id, p_id, round(score, 6) AS score FROM (
+  SELECT q_id, p_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, p_id) AS rn
+  FROM run WHERE score >= 0.48
+) WHERE rn <= 5
+""",
+        "dim_join_revenue": """
+SELECT r_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "semi_join": """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+        "intersect_pairs": """
+SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-16'
+INTERSECT
+SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+""",
+        "events_tumbling": """
+SELECT time_bucket(INTERVAL 1 day, ts)::DATE AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sanitize_years": """
+SELECT o_orderkey,
+       least(greatest(coalesce(
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE year(o_orderdate) END,
+         2023), 1902), 2023)::INT AS pub_year
+FROM orders
+""",
+        "replace_brackets": """
+SELECT doc_id,
+       CASE WHEN regexp_matches(s, '\\]\\s*\\[') THEN translate(s, '[]', '()')
+            ELSE s END AS fixed
+FROM (SELECT doc_id, '[' || substr(text, 1, 30) || '] [tail]' AS s FROM documents)
+""",
+        "query_template": """
+SELECT doc_id, concat_ws('|', lang, source, substr(text, 1, 40)) AS qtext
+FROM documents
+""",
+    }

@@ -1,0 +1,99 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the north-rule metric surface:
+- index_build      : inverted-index build (docIDs, postings segments,
+                     dictionary, manifest) over the deterministic synthetic
+                     source-code corpus (files/sec in extra.files_per_sec)
+- bm25_queries     : the fixed query set through the physical segment engine
+                     (per-query p95 in extra.bm25_p95_ms)
+- core analytics   : the oracled operator suite over the driver's sf tables
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), MTIX_BENCH_DOCS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from mtix_spark.corpus import synth_corpus, synth_queries
+from mtix_spark.index.build import assign_doc_ids, build_index
+from mtix_spark.index.search import bm25_topk_segments
+from mtix_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("MTIX_BENCH_DOCS", str(max(2000, int(sf * 150_000)))))
+
+    spark = get_spark("mtix_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- index build over the synthetic source-code corpus -----------------
+    idx_dir = tempfile.mkdtemp(prefix="mtix_bench_idx_")
+    t0 = time.time()
+    docs = assign_doc_ids(synth_corpus(spark, n_docs), cpus)
+    paths = build_index(spark, docs, idx_dir, n_segments=max(8, cpus))
+    timings["index_build"] = round(time.time() - t0, 3)
+    extra["files_per_sec"] = round(n_docs / timings["index_build"], 1)
+    extra["n_docs"] = n_docs
+
+    # --- BM25 query latency through the segment engine ---------------------
+    qset = [(q, t) for q, t, _ in synth_queries(spark, 100).collect()]
+    t0 = time.time()
+    bm25_topk_segments(spark, paths, qset, k=100).collect()
+    timings["bm25_100q_batch"] = round(time.time() - t0, 3)
+    lat = []
+    for qid, text in qset[:20]:
+        t1 = time.time()
+        bm25_topk_segments(spark, paths, [(qid, text)], k=100).collect()
+        lat.append((time.time() - t1) * 1000)
+    lat.sort()
+    extra["bm25_p95_ms"] = round(lat[int(0.95 * len(lat)) - 1], 1)
+    timings["bm25_20q_single"] = round(sum(lat) / 1000, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- oracled operator suite over the driver tables ---------------------
+    suite = [
+        "tf_postings", "term_dict", "bm25_topk", "token_count", "language_id",
+        "quality_score", "dedup_exact", "ngram_jaccard", "minhash_lsh",
+        "simhash", "knn_cosine", "embed_near_dup", "topn_per_key",
+        "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q6",
+        "events_tumbling",
+    ]
+    qs = E.queries()
+    for name in suite:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 query set + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

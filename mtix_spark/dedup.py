@@ -1,0 +1,301 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+All hot paths are JVM-side Column expressions (whole-stage codegen) — no
+Python UDFs. Hash functions are defined over md5 hex prefixes so the exact
+same integers are computable in ANSI SQL (the DuckDB oracle), keeping every
+operator under the driver's value-hash correctness gate.
+
+Scale notes (100 TB):
+- exact dedup = hash-groupBy: map-side partial agg, shuffle only (sha, id).
+- MinHash/LSH: the candidate-pair join shuffles on (band, signature) — band
+  buckets are capped by the signature, so no quadratic blowup; only
+  same-bucket pairs are compared. Exact-Jaccard verification then touches
+  only candidate pairs.
+- SimHash: banded self-join on 8-bit key prefixes (Hamming<=k with k<8
+  guarantees at least one of 4 bands equal) instead of an O(n^2) cross join.
+
+Reference parity: the reference has no dedup stage; these extend the engine
+per the training-data-pipeline requirement (see repo brief). The tokenizer is
+the shared one from functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mtix_spark.functions.text import tokenize
+
+# MinHash universal-hash family over a prime > 2^32; a < 2^31 keeps a*h in
+# signed-64 range (h < 2^32). Parameters are fixed constants so Spark and the
+# SQL oracle agree bit-for-bit.
+MINHASH_PRIME = 4294967311
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _perm_params(n_perm: int = N_PERM) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) triples — a linear congruential family.
+    Small fixed constants (no RNG) so the oracle SQL can embed them."""
+    out = []
+    a, b = 1103515245, 12345
+    for i in range(n_perm):
+        a = (a * 1664525 + 1013904223) % (1 << 31)
+        b = (b * 22695477 + 1) % MINHASH_PRIME
+        out.append((i, max(a, 1), b))
+    return out
+
+
+def token_hash(col: Column | str) -> Column:
+    """32-bit token hash = first 8 hex chars of md5, as long.
+
+    md5 keeps the function reproducible in any SQL engine (the oracle);
+    at index-build scale this runs once per distinct (doc, term) pair.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy.
+
+    Returns (content_sha, keeper_id, n_copies): the keeper is the minimum id
+    in each identical-content group. Map-side partial agg + one shuffle on
+    the 64-hex sha — the canonical at-scale exact-dedup plan.
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct) as array<string>."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted join.
+
+    Plan: explode distinct shingles -> self equi-join on shingle (the only
+    shuffle, keyed by shingle so hot shingles spread via AQE skew split) ->
+    per-pair intersection count -> Jaccard = |∩| / (|A|+|B|-|∩|).
+    Only pairs sharing ≥1 shingle are ever materialized (not O(n²)).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = N_PERM
+) -> DataFrame:
+    """(id, perm, minhash) — MinHash over distinct tokens.
+
+    minhash_i(doc) = min over tokens of (a_i * h32(token) + b_i) mod P.
+    The perm table (n_perm rows) broadcasts; the only shuffle is the
+    groupBy (id, perm) min — partial-aggregated map-side.
+    """
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(_perm_params(n_perm), "perm int, a long, b long")
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    ).withColumn("h", token_hash("term"))
+    return (
+        tok.crossJoin(F.broadcast(perms))
+        .withColumn("hv", (F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_PRIME))
+        .groupBy("id", "perm")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard on token sets.
+
+    Band signatures (N_BANDS bands × ROWS_PER_BAND rows) bucket candidates;
+    pairs sharing any band are exactly verified. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard = exact token-set
+    Jaccard rounded to 6, filtered at `threshold`.
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    # collect_list order is nondeterministic — sort by perm inside the struct
+    bands = (
+        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("bandsig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandsig") == F.col("b.bandsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokenize(F.col(text_col))).alias("ts")
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ts_a", "ts_b"))
+                / (
+                    F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
+                ).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over tf-weighted token hashes.
+
+    bit_j(sim) = 1 iff Σ_tokens tf · (2·bit_j(h32(token)) − 1) > 0.
+    Pure Column math: explode → tf → cross join 32-row bit table (broadcast)
+    → signed sum → bit pack. Two shuffles, both partial-aggregated.
+    """
+    spark = docs.sparkSession
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", token_hash("term"))
+    )
+    signed = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "contrib",
+            F.col("tf") * (F.expr("shiftright(h, bit) & 1") * 2 - 1),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return signed.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Banded join: the 32-bit hash splits into 4 byte-bands; d ≤ 3 < 4 bands
+    pigeonholes ≥1 band equal, so candidates come from 4 equi-joins on a
+    single byte — never an O(n²) cross join. Returns (id_a, id_b, hamming).
+    """
+    sim = simhash32(docs, id_col, text_col)
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

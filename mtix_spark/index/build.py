@@ -304,3 +304,89 @@ def build_index(
     _commit_manifest(paths, manifest)
     docs.unpersist()
     return paths
+
+
+# ---------------------------------------------------------------------------
+# B5: salted term-partitioned merge (global posting lists)
+# ---------------------------------------------------------------------------
+
+MERGED_SCHEMA = (
+    "term string, df long, doc_ids_bin binary, tfs_bin binary, "
+    "max_tf int, block_max_wtf array<float>, min_doc long, max_doc long"
+)
+
+
+def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Ordered concat of doc-range-disjoint posting fragments of one term.
+
+    Fragments (sorted by min_doc) never interleave, so the merge is a pure
+    concatenation — decode each delta stream, stitch (first delta of each
+    subsequent fragment rebased onto the previous fragment's last doc), and
+    re-encode. Vectorized numpy; no per-posting Python."""
+    from mtix_spark.index.codec import decode_varint, delta_decode
+
+    pdf = pdf.sort_values("min_doc")
+    ids = np.concatenate([delta_decode(b) for b in pdf["doc_ids_bin"]])
+    tfs = np.concatenate([decode_varint(b) for b in pdf["tfs_bin"]])
+    bm = np.concatenate([np.asarray(b, dtype=np.float32) for b in pdf["block_max_wtf"]])
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "df": [int(ids.size)],
+            "doc_ids_bin": [delta_encode(ids)],
+            "tfs_bin": [encode_varint(tfs)],
+            "max_tf": [int(pdf["max_tf"].max())],
+            "block_max_wtf": [bm],
+            "min_doc": [int(ids[0])],
+            "max_doc": [int(ids[-1])],
+        }
+    )
+
+
+def merge_postings(
+    spark: SparkSession,
+    paths: IndexPaths,
+    hot_df: int = 100_000,
+    n_salt: int = 8,
+) -> str:
+    """Merge per-segment posting lists into global term-partitioned lists
+    with skew splitting of hot terms (BASELINE.json:north_star).
+
+    Cold terms (global df < hot_df) merge in one shuffle keyed by term.
+    Hot terms (Zipf head — 'def', 'import', ...) would serialize one reducer
+    per term, so they take two rounds: segments are first grouped into
+    `n_salt` contiguous ranges (salt = seg * n_salt // n_segments keeps each
+    salt bucket doc-range-disjoint AND contiguous), sub-merged in parallel
+    keyed by (term, salt), then the ≤ n_salt fragments per term concat in a
+    second tiny round. Both rounds are the same ordered-concat kernel —
+    correctness is partition-count-invariant.
+
+    Writes merged/*.parquet; returns its path. Note the block-max metadata
+    is concatenated, not recomputed: fragment block boundaries are preserved,
+    upper bounds stay valid (they are per-128-posting maxima of wtf).
+    """
+    postings = spark.read.parquet(paths.postings)
+    with open(paths.stats) as f:
+        n_segments = json.load(f)["n_segments"]
+
+    dfs = postings.groupBy("term").agg(F.sum("df_seg").alias("df"))
+    hot_terms = dfs.filter(F.col("df") >= hot_df).select("term")
+
+    cold = postings.join(F.broadcast(hot_terms), "term", "left_anti")
+    merged_cold = cold.groupBy("term").applyInPandas(
+        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    )
+
+    hot = postings.join(F.broadcast(hot_terms), "term", "left_semi").withColumn(
+        "salt", (F.col("seg") * n_salt / F.lit(n_segments)).cast("int")
+    )
+    sub = hot.groupBy("term", "salt").applyInPandas(
+        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    )
+    merged_hot = sub.groupBy("term").applyInPandas(
+        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    )
+
+    out = os.path.join(paths.root, "merged")
+    merged_cold.unionByName(merged_hot).write.mode("overwrite").parquet(out)
+    return out

@@ -124,3 +124,27 @@ def test_checkpoint_resume_identical(spark, small_docs, tmp_path):
     assert index_content(full) == index_content(part)
     with open(os.path.join(part, "manifest.json")) as f:
         assert len(json.load(f)["segments"]) == 4
+
+
+def test_merge_postings_matches_tf(spark, small_docs, small_index):
+    """Salted term-merge (B5): global lists == brute tf relation, with the
+    hot path forced (hot_df=50 sends the Zipf head through salting)."""
+    import numpy as np
+
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.codec import decode_varint, delta_decode
+
+    out = merge_postings(spark, small_index, hot_df=50, n_salt=4)
+    merged = spark.read.parquet(out).collect()
+    tf_rows = build_tf(small_docs).collect()
+    expect: dict[str, dict[int, int]] = {}
+    for r in tf_rows:
+        expect.setdefault(r["term"], {})[r["doc_id"]] = r["tf"]
+    assert len(merged) == len(expect)
+    for r in merged:
+        ids = delta_decode(r["doc_ids_bin"]).astype(int)
+        tfs = decode_varint(r["tfs_bin"]).astype(int)
+        exp = expect[r["term"]]
+        assert list(ids) == sorted(exp)  # globally sorted, strictly increasing
+        assert [exp[i] for i in ids] == list(tfs)
+        assert r["df"] == len(exp)
