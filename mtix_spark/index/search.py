@@ -187,60 +187,94 @@ def _maxscore_kernel(
     return pd.DataFrame(out)
 
 
+class SegmentSearcher:
+    """Reusable query handle over a built index.
+
+    Persists the doclens relation (narrow: doc_id, dl per segment) and keeps
+    the postings/dictionary readers open so repeated queries pay only the
+    per-query work: a pushed-down term filter on the postings scan, the
+    per-segment MaxScore kernel, and a tiny global merge. This is the
+    latency-path object behind the p95 target (BASELINE.json:metric); the
+    one-shot wrapper `bm25_topk_segments` trades persistence for simplicity.
+    """
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths, persist: bool = True):
+        self.spark = spark
+        self.paths = paths
+        with open(paths.stats) as f:
+            stats = json.load(f)
+        self.n_docs = stats["n_docs"]
+        self.avgdl = stats["avgdl"]
+        self.seg_size = stats["seg_size"]
+        self.postings = spark.read.parquet(paths.postings)
+        self.doclens = spark.read.parquet(paths.doclens)
+        self.dictionary = spark.read.parquet(paths.dictionary)
+        if persist:
+            self.doclens = self.doclens.persist()
+            self.dictionary = self.dictionary.persist()
+
+    def _tokenize_queries(self, queries) -> list[tuple[int, list[str]]]:
+        import re
+
+        from mtix_spark.functions.text import TOKEN_SPLIT_RE
+
+        return [
+            (qid, sorted(set(t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t)))
+            for qid, text in queries
+        ]
+
+    def search(self, queries: list[tuple[int, str]], k: int = 100) -> DataFrame:
+        """Top-k for a batch of (query_id, text). Returns
+        (query_id, rank, doc_id, score) under the fixed tie-break."""
+        tokenized = self._tokenize_queries(queries)
+        all_terms = sorted({t for _, ts in tokenized for t in ts})
+        n_docs, avgdl, seg_size = self.n_docs, self.avgdl, self.seg_size
+
+        dict_rows = (
+            self.dictionary.filter(F.col("term").isin(all_terms)).collect()
+        )
+        idf = {
+            r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in dict_rows
+        }
+
+        postings = self.postings.filter(F.col("term").isin(all_terms))
+
+        def kernel(key, p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            base = seg * seg_size
+            n = min(seg_size, n_docs - base)
+            dl = np.zeros(n, dtype=np.float64)
+            if len(d):
+                dl[d["doc_id"].to_numpy() - base] = d["dl"].to_numpy()
+            if not len(p):
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                    {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+                )
+            return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
+
+        per_seg = (
+            postings.groupBy("seg")
+            .cogroup(self.doclens.groupBy("seg"))
+            .applyInPandas(kernel, "query_id long, doc_id long, score double")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_seg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def close(self) -> None:
+        self.doclens.unpersist()
+        self.dictionary.unpersist()
+
+
 def bm25_topk_segments(
     spark: SparkSession,
     paths: IndexPaths,
     queries: list[tuple[int, str]],
     k: int = 100,
 ) -> DataFrame:
-    """Top-k over the physical segment index. Returns (query_id, rank, doc_id, score)."""
-    with open(paths.stats) as f:
-        stats = json.load(f)
-    n_docs, avgdl, seg_size = stats["n_docs"], stats["avgdl"], stats["seg_size"]
-
-    from mtix_spark.functions.text import TOKEN_SPLIT_RE
-    import re
-
-    tokenized = [
-        (qid, sorted(set(t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t)))
-        for qid, text in queries
-    ]
-    all_terms = sorted({t for _, ts in tokenized for t in ts})
-
-    dict_rows = (
-        spark.read.parquet(paths.dictionary)
-        .filter(F.col("term").isin(all_terms))
-        .collect()
-    )
-    idf = {
-        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in dict_rows
-    }
-
-    postings = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
-    doclens = spark.read.parquet(paths.doclens)
-
-    def kernel(key, p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
-        seg = int(key[0])
-        base = seg * seg_size
-        n = min(seg_size, n_docs - base)
-        dl = np.zeros(n, dtype=np.float64)
-        if len(d):
-            dl[d["doc_id"].to_numpy() - base] = d["dl"].to_numpy()
-        if not len(p):
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
-            )
-        return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
-
-    per_seg = (
-        postings.groupBy("seg")
-        .cogroup(doclens.groupBy("seg"))
-        .applyInPandas(kernel, "query_id long, doc_id long, score double")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_seg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    """One-shot top-k over the physical segment index."""
+    return SegmentSearcher(spark, paths, persist=False).search(queries, k)

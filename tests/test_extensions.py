@@ -1,0 +1,215 @@
+"""Tests: dedup, similarity, multimodal plumbing, streaming twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs500(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb500(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs500):
+    from mtix_spark.dedup import exact_dedup_groups
+
+    dup = docs500.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000)
+    groups = exact_dedup_groups(docs500.unionByName(dup))
+    assert groups.filter(F.col("n_copies") == 2).count() == 3
+    # keeper is always the original (smaller id)
+    assert groups.filter(F.col("keeper_id") >= 10_000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs500):
+    """LSH candidate pairs must contain every truly-similar pair at high
+    jaccard (recall ~1 at j>=0.9 for 16 perms / 4 bands)."""
+    from mtix_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    # token-set jaccard ground truth via 1-gram shingles
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs500, threshold=0.9, n=1).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs500, threshold=0.9).collect()
+    }
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+    # precision is exact by construction (candidates are re-verified)
+    assert lsh <= {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs500, threshold=0.9, n=1).collect()
+    }
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs500):
+    from mtix_spark.dedup import simhash32
+
+    a = simhash32(docs500.limit(5))
+    b = simhash32(docs500.limit(5).withColumn("doc_id", F.col("doc_id") + 777))
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.id") + 777 == F.col("b.id")
+    )
+    assert joined.filter(F.col("a.simhash") != F.col("b.simhash")).count() == 0
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_knn_lsh_scores_exact_and_weak_recall(spark, emb500):
+    """On the driver's weakly-similar embeddings (max pairwise cosine ~0.5)
+    LSH recall is data-limited; assert a floor plus score exactness."""
+    from mtix_spark.similarity import knn_cosine_brute, knn_cosine_lsh
+
+    ids = [0, 1, 2, 3, 4]
+    brute = knn_cosine_brute(emb500, ids, k=10).collect()
+    lsh = knn_cosine_lsh(emb500, ids, k=10).collect()
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+    lset = {(r["query_id"], r["vec_id"]) for r in lsh}
+    assert len(lset & bset) / len(bset) >= 0.15
+    # scores it does return must be the exact cosine (same kernel)
+    bs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in brute}
+    for r in lsh:
+        k = (r["query_id"], r["vec_id"])
+        if k in bs:
+            assert abs(bs[k] - r["cosine"]) < 1e-9
+
+
+def test_knn_lsh_high_recall_on_clustered_data(spark):
+    """Planted-cluster embeddings (true near-neighbor structure): recall ≥0.9."""
+    import numpy as np
+
+    from mtix_spark.similarity import knn_cosine_brute, knn_cosine_lsh
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    for i in range(400):
+        v = centers[i % 20] + 0.25 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ids = [0, 1, 2, 3, 4]
+    brute = {(r["query_id"], r["vec_id"]) for r in knn_cosine_brute(emb, ids, k=10).collect()}
+    lsh = {(r["query_id"], r["vec_id"]) for r in knn_cosine_lsh(emb, ids, k=10).collect()}
+    assert len(lsh & brute) / len(brute) >= 0.9
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_media_feature_shape_and_determinism(spark):
+    from mtix_spark.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 30)
+    f1 = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 32 for v in f1.values())
+
+
+def test_frame_sampling_fanout(spark):
+    from mtix_spark.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 30)
+    frames = sample_frames(media, every_ms=1000)
+    per = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    durs = {r["media_id"]: r["duration_ms"] for r in media.filter(F.col("kind") == "video").collect()}
+    assert set(per) == set(durs)
+    for mid, n in per.items():
+        assert n == max(1, durs[mid] // 1000)
+
+
+def test_metadata_stats_prunes_payload(spark, tmp_path):
+    """Metadata aggregates over a parquet media table must not read the
+    binary payload column (ReadSchema pruning)."""
+    from mtix_spark.multimodal import media_metadata_stats, synth_media
+
+    p = str(tmp_path / "media")
+    synth_media(spark, 30).write.parquet(p)
+    plan = (
+        media_metadata_stats(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema
+
+
+# --- streaming -------------------------------------------------------------
+
+
+def test_stream_index_ingest_and_query(spark, tmp_path):
+    """File-stream ingestion builds queryable segments; results equal a
+    batch build over the same rows."""
+    import glob
+
+    from mtix_spark.corpus import synth_corpus
+    from mtix_spark.index.build import IndexPaths
+    from mtix_spark.streaming.ingest import stream_index_ingest
+
+    src = str(tmp_path / "src")
+    corpus = synth_corpus(spark, 300, n_parts=3)
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "sidx")
+    q = stream_index_ingest(spark, src, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    paths = IndexPaths(idx)
+    import json as J
+
+    man = J.load(open(paths.manifest))
+    assert len(man["segments"]) >= 1
+    n_docs = sum(
+        s["max_doc"] - s["min_doc"] + 1 for s in man["segments"].values()
+    )
+    assert n_docs == 300
+    assert len(glob.glob(f"{idx}/postings/seg=*/*.parquet")) >= 1
+
+
+def test_windowed_counts_batch_twin(spark):
+    from mtix_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = windowed_event_counts(ev)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_sessionize_streaming(spark, tmp_path):
+    """applyInPandasWithState sessionization over a rate-limited replay of
+    the events table (append mode, processing-time timeout)."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    src = str(tmp_path / "evsrc")
+    ev.write.parquet(src)
+    from mtix_spark.streaming.ingest import sessionize
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions_out").collect()
+    # closed sessions only (open ones wait for timeout); sanity: no negatives
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
