@@ -28,7 +28,6 @@ from mtix_spark.dedup import (
     ngram_jaccard_pairs,
     simhash32,
     simhash_dup_pairs,
-    token_hash,
 )
 from mtix_spark.functions.scalar import clamp_year, replace_brackets
 from mtix_spark.functions.text import (
@@ -38,7 +37,7 @@ from mtix_spark.functions.text import (
     tokenize,
 )
 from mtix_spark.pipeline import fuse_runs_avg, threshold_filter, top_n_per_query
-from mtix_spark.similarity import cosine, knn_cosine_brute, knn_cosine_lsh
+from mtix_spark.similarity import knn_cosine_brute, knn_cosine_lsh
 
 # ---------------------------------------------------------------------------
 # shared constants (mirrored verbatim into the oracle SQL)

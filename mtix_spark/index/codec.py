@@ -18,11 +18,15 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # ceil(64/7)
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """uint64 array -> LEB128 byte stream (vectorized)."""
+def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array -> (LEB128 byte stream, per-value byte counts).
+
+    The byte counts let a caller slice one bulk-encoded stream into
+    per-group binary cells by offset — the trick behind the fully-vectorized
+    segment build (no per-term encode calls)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(arr.size, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
         nb += (arr >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
@@ -36,7 +40,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         payload = (arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[mask] > j + 1).astype(np.uint8) << 7
         out[offsets[mask] + j] = payload.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 byte stream (vectorized)."""
+    return encode_varint_with_sizes(values)[0]
 
 
 def decode_varint(data: bytes | np.ndarray) -> np.ndarray:

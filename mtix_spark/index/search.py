@@ -33,10 +33,38 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mtix_spark.functions.text import tokenize
-from mtix_spark.index.build import IndexPaths, K1, B
+from mtix_spark.index.build import BLOCK_SIZE, IndexPaths, K1, B
 from mtix_spark.index.codec import decode_varint, delta_decode
 
 SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
+
+# executor-local doclens cache: seg -> np.float64[dl]. Loaded straight from
+# the index's doclens/seg=K parquet by the query kernel — the doclens
+# relation is NEVER shuffled at query time (it used to ride a cogroup,
+# moving n_docs rows per query; now each task reads only its segment's
+# lengths, and repeat queries hit this cache).
+_DL_CACHE: dict = {}
+_DL_CACHE_MAX = 64
+
+
+def _load_dl(doclens_root: str, seg: int, base: int, n: int) -> "np.ndarray":
+    key = (doclens_root, seg)
+    hit = _DL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    dl = np.zeros(n, dtype=np.float64)
+    for f in glob.glob(os.path.join(doclens_root, f"seg={seg}", "*.parquet")):
+        t = pq.read_table(f, columns=["doc_id", "dl"])
+        dl[t["doc_id"].to_numpy() - base] = t["dl"].to_numpy()
+    if len(_DL_CACHE) >= _DL_CACHE_MAX:
+        _DL_CACHE.pop(next(iter(_DL_CACHE)))
+    _DL_CACHE[key] = dl
+    return dl
 
 
 def _queries_df(spark: SparkSession, queries: DataFrame | Iterable) -> DataFrame:
@@ -157,7 +185,7 @@ def _maxscore_kernel(
             if restricted:
                 # block-max skip: only blocks holding current candidates
                 w_idf = idf[t]
-                bs = 128
+                bs = BLOCK_SIZE
                 for bi in range(bm.size):
                     sl = slice(bi * bs, min((bi + 1) * bs, local.size))
                     cand = acc[local[sl]] > 0.0
@@ -190,12 +218,15 @@ def _maxscore_kernel(
 class SegmentSearcher:
     """Reusable query handle over a built index.
 
-    Persists the doclens relation (narrow: doc_id, dl per segment) and keeps
-    the postings/dictionary readers open so repeated queries pay only the
-    per-query work: a pushed-down term filter on the postings scan, the
-    per-segment MaxScore kernel, and a tiny global merge. This is the
-    latency-path object behind the p95 target (BASELINE.json:metric); the
-    one-shot wrapper `bm25_topk_segments` trades persistence for simplicity.
+    Per query the cluster moves only: (1) the term-filtered postings rows
+    (≤ n_terms × n_segments rows, filter pushed to the parquet scan),
+    shuffled once by seg for the kernel; (2) n_segments × k candidate rows
+    into the global merge. Document lengths never ride a shuffle — each
+    kernel task reads its own segment's doclens parquet directly
+    (executor-local `_DL_CACHE`; on a cluster this is a DFS/object-store
+    read with locality, the Lucene-style per-segment file access pattern).
+    This is the latency path behind the p95 target (BASELINE.json:metric);
+    the one-shot wrapper `bm25_topk_segments` skips dictionary persistence.
     """
 
     def __init__(self, spark: SparkSession, paths: IndexPaths, persist: bool = True):
@@ -207,11 +238,14 @@ class SegmentSearcher:
         self.avgdl = stats["avgdl"]
         self.seg_size = stats["seg_size"]
         self.postings = spark.read.parquet(paths.postings)
-        self.doclens = spark.read.parquet(paths.doclens)
         self.dictionary = spark.read.parquet(paths.dictionary)
+        self._persisted = persist
         if persist:
-            self.doclens = self.doclens.persist()
             self.dictionary = self.dictionary.persist()
+        # term -> df cache (misses included as 0): repeat queries skip the
+        # dictionary job entirely — at 10^12 docs this holds only the terms
+        # this searcher has seen, never the vocabulary
+        self._df_cache: dict[str, int] = {}
 
     def _tokenize_queries(self, queries) -> list[tuple[int, list[str]]]:
         import re
@@ -230,33 +264,38 @@ class SegmentSearcher:
         all_terms = sorted({t for _, ts in tokenized for t in ts})
         n_docs, avgdl, seg_size = self.n_docs, self.avgdl, self.seg_size
 
-        dict_rows = (
-            self.dictionary.filter(F.col("term").isin(all_terms)).collect()
-        )
+        missing = [t for t in all_terms if t not in self._df_cache]
+        if missing:
+            for t in missing:
+                self._df_cache[t] = 0
+            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                self._df_cache[r["term"]] = r["df"]
         idf = {
-            r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-            for r in dict_rows
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t in all_terms
+            if (df := self._df_cache[t]) > 0
         }
+        if not idf:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
 
-        postings = self.postings.filter(F.col("term").isin(all_terms))
+        postings = self.postings.filter(F.col("term").isin(sorted(idf)))
+        doclens_root = self.paths.doclens
 
-        def kernel(key, p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
             seg = int(key[0])
             base = seg * seg_size
             n = min(seg_size, n_docs - base)
-            dl = np.zeros(n, dtype=np.float64)
-            if len(d):
-                dl[d["doc_id"].to_numpy() - base] = d["dl"].to_numpy()
             if not len(p):
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}
                 )
+            dl = _load_dl(doclens_root, seg, base, n)
             return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
 
-        per_seg = (
-            postings.groupBy("seg")
-            .cogroup(self.doclens.groupBy("seg"))
-            .applyInPandas(kernel, "query_id long, doc_id long, score double")
+        per_seg = postings.groupBy("seg").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -266,8 +305,8 @@ class SegmentSearcher:
         )
 
     def close(self) -> None:
-        self.doclens.unpersist()
-        self.dictionary.unpersist()
+        if self._persisted:
+            self.dictionary.unpersist()
 
 
 def bm25_topk_segments(

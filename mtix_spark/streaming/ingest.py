@@ -100,7 +100,10 @@ def stream_index_ingest(
         postings.write.mode("append").parquet(
             os.path.join(paths.postings, f"seg={seg_id}")
         )
-        dl.write.mode("append").parquet(os.path.join(paths.doclens, f"seg={seg_id}"))
+        docs.select(
+            "doc_id", F.col("doc_len").alias("dl"),
+            "repo", "path", "commit", "lang", "content_sha256",
+        ).write.mode("append").parquet(os.path.join(paths.docmap, f"seg={seg_id}"))
         stats = docs.agg(
             F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tok")
         ).collect()[0]
