@@ -64,8 +64,9 @@ DOCS_SCHEMA = (
 )
 
 POSTINGS_SCHEMA = (
-    "term string, seg int, df_seg int, doc_ids_bin binary, tfs_bin binary, "
-    "max_tf int, block_max_wtf array<float>, min_doc long, max_doc long"
+    "term string, seg int, df_seg int, cf_seg long, doc_ids_bin binary, "
+    "tfs_bin binary, max_tf int, block_max_wtf array<float>, "
+    "min_doc long, max_doc long"
 )
 
 
@@ -272,12 +273,14 @@ def _build_segment_postings(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
     ]
 
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.int64)
+    cf = np.add.reduceat(tfs.astype(np.int64), starts)
 
     return pd.DataFrame(
         {
             "term": np.asarray(uniques, dtype=object)[codes[starts]],
             "seg": np.full(starts.size, seg, dtype=np.int32),
             "df_seg": lengths.astype(np.int32),
+            "cf_seg": cf,
             "doc_ids_bin": doc_bins,
             "tfs_bin": tf_bins,
             "max_tf": max_tf.astype(np.int32),
@@ -387,6 +390,10 @@ def build_index(
             .agg(
                 F.count(F.lit(1)).alias("posting_lists"),
                 F.sum("df_seg").alias("postings"),
+                F.sum("cf_seg").alias("tokens"),
+                F.sum(F.octet_length("doc_ids_bin") + F.octet_length("tfs_bin")).alias(
+                    "compressed_bytes"
+                ),
                 F.min("min_doc").alias("min_doc"),
                 F.max("max_doc").alias("max_doc"),
             )
@@ -398,6 +405,8 @@ def build_index(
                 "max_doc": int(r["max_doc"]),
                 "posting_lists": int(r["posting_lists"]),
                 "postings": int(r["postings"]),
+                "tokens": int(r["tokens"]),
+                "compressed_bytes": int(r["compressed_bytes"]),
                 "build_wall_ms": round(wall_ms, 1),
                 "lineage": {"source": "docs", "seg_size": seg_size},
             }
@@ -417,7 +426,7 @@ def build_index(
 # ---------------------------------------------------------------------------
 
 MERGED_SCHEMA = (
-    "term string, df long, doc_ids_bin binary, tfs_bin binary, "
+    "term string, df long, cf long, doc_ids_bin binary, tfs_bin binary, "
     "max_tf int, block_max_wtf array<float>, min_doc long, max_doc long"
 )
 
@@ -435,10 +444,12 @@ def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
     ids = np.concatenate([delta_decode(b) for b in pdf["doc_ids_bin"]])
     tfs = np.concatenate([decode_varint(b) for b in pdf["tfs_bin"]])
     bm = np.concatenate([np.asarray(b, dtype=np.float32) for b in pdf["block_max_wtf"]])
+    cf_col = "cf" if "cf" in pdf.columns else "cf_seg"
     return pd.DataFrame(
         {
             "term": [pdf["term"].iloc[0]],
             "df": [int(ids.size)],
+            "cf": [int(pdf[cf_col].sum())],
             "doc_ids_bin": [delta_encode(ids)],
             "tfs_bin": [encode_varint(tfs)],
             "max_tf": [int(pdf["max_tf"].max())],

@@ -257,9 +257,9 @@ class SegmentSearcher:
             for qid, text in queries
         ]
 
-    def search(self, queries: list[tuple[int, str]], k: int = 100) -> DataFrame:
-        """Top-k for a batch of (query_id, text). Returns
-        (query_id, rank, doc_id, score) under the fixed tie-break."""
+    def _per_segment(self, queries: list[tuple[int, str]], k: int) -> DataFrame | None:
+        """Per-segment candidate top-k frame, or None if no query term has
+        a positive idf (OOV/empty queries)."""
         tokenized = self._tokenize_queries(queries)
         all_terms = sorted({t for _, ts in tokenized for t in ts})
         n_docs, avgdl, seg_size = self.n_docs, self.avgdl, self.seg_size
@@ -276,9 +276,7 @@ class SegmentSearcher:
             if (df := self._df_cache[t]) > 0
         }
         if not idf:
-            return self.spark.createDataFrame(
-                [], "query_id long, rank int, doc_id long, score double"
-            )
+            return None
 
         postings = self.postings.filter(F.col("term").isin(sorted(idf)))
         doclens_root = self.paths.doclens
@@ -294,15 +292,45 @@ class SegmentSearcher:
             dl = _load_dl(doclens_root, seg, base, n)
             return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
 
-        per_seg = postings.groupBy("seg").applyInPandas(
+        return postings.groupBy("seg").applyInPandas(
             kernel, "query_id long, doc_id long, score double"
         )
+
+    def search(self, queries: list[tuple[int, str]], k: int = 100) -> DataFrame:
+        """Top-k for a batch of (query_id, text). Returns
+        (query_id, rank, doc_id, score) under the fixed tie-break."""
+        per_seg = self._per_segment(queries, k)
+        if per_seg is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             per_seg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")
         )
+
+    def search_topk(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+        """Latency-path variant: per-segment candidates collect to the
+        driver (≤ n_segments × k × n_queries tiny rows) and merge there —
+        one Spark job, no window exchange stage. Same results as
+        `search()` (same kernel, same tie-break); returns a pandas frame
+        (query_id, rank, doc_id, score)."""
+        per_seg = self._per_segment(queries, k)
+        if per_seg is None:
+            return pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64",
+                      "score": "float64"})
+        pdf = per_seg.toPandas()
+        pdf = pdf.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+        return pdf[["query_id", "rank", "doc_id", "score"]]
 
     def close(self) -> None:
         if self._persisted:

@@ -49,7 +49,7 @@ def main() -> None:
         lat = []
         for q in qset[: min(len(qset), 20)]:
             t1 = time.time()
-            searcher.search([q], k=args.k).collect()
+            searcher.search_topk([q], k=args.k)
             lat.append((time.time() - t1) * 1000)
         lat.sort()
         stats["p50_ms"] = round(lat[len(lat) // 2], 1)

@@ -148,3 +148,22 @@ def test_merge_postings_matches_tf(spark, small_docs, small_index):
         assert list(ids) == sorted(exp)  # globally sorted, strictly increasing
         assert [exp[i] for i in ids] == list(tfs)
         assert r["df"] == len(exp)
+
+
+def test_search_topk_matches_search(spark, small_docs, small_index):
+    """Driver-merge latency path == DataFrame path, row for row."""
+    from mtix_spark.index.search import SegmentSearcher
+
+    s = SegmentSearcher(spark, small_index, persist=False)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 10).collect()]
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in s.search(queries, k=20).collect()
+    )
+    pdf = s.search_topk(queries, k=20)
+    b = sorted(
+        (int(q), int(rk), int(d), round(float(sc), 6))
+        for q, rk, d, sc in pdf.itertuples(index=False)
+    )
+    assert a == b
+    assert s.search_topk([(1, "zz_oov_zz")], k=5).empty

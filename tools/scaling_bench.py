@@ -47,7 +47,7 @@ query_s = time.time() - t0
 lat = []
 for qid, text in qset[:20]:
     t1 = time.time()
-    searcher.search([(qid, text)], k=100).collect()
+    searcher.search_topk([(qid, text)], k=100)
     lat.append((time.time() - t1) * 1000)
 lat.sort()
 
