@@ -256,19 +256,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
 
 
-def _quality_oracle() -> str:
+def _quality_expr() -> str:
+    """Raw SQL mirror of functions.text.quality_score (unrounded)."""
     from mtix_spark.functions.text import _STOPWORDS
 
     toks = TOK.format(c="text")
-    return f"""
-SELECT doc_id,
-  round(CASE WHEN len({toks}) > 0 THEN
+    return f"""CASE WHEN len({toks}) > 0 THEN
     0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
     + 0.3 * (CASE WHEN length(text) > 0 THEN
         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
         / length(text)::DOUBLE ELSE 0.0 END)
     + 0.3 * (len(list_intersect(list_distinct({toks}), {_STOPWORDS!r}))::DOUBLE / 10.0)
-  ELSE 0.0 END, 6) AS quality
+  ELSE 0.0 END"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+SELECT doc_id, round({_quality_expr()}, 6) AS quality
 FROM documents
 """
 
@@ -620,6 +624,122 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full Q5 shape: revenue per nation where customer and supplier share it
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window frame beyond ranking: per-user running value ordered by event
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with no urgent order — non-trivial anti-join at every sf
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_mti_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parity chain, flattened for the oracle: BM25 retrieval
+    (the replaced stage) → fuse with a doc-quality prior (J6) → threshold
+    (P3) → per-query top-5 (A1) → dim join (J2: doc source) → ranked rows.
+    """
+    bm25 = _bm25_over_documents(spark, sf_dir, physical=False)
+    docs = _tbl(spark, sf_dir, "documents")
+    prior = docs.select(
+        "doc_id", (quality_score("text") * 10.0).alias("prior")
+    )
+    fused = (
+        bm25.join(prior, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round((F.col("score") + F.col("prior")) / 2.0, 6).alias("fscore"),
+        )
+        .filter(F.col("fscore") >= 1.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fscore"), F.asc("doc_id"))
+    top = (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    dim = docs.select("doc_id", "source")
+    return top.join(F.broadcast(dim), "doc_id").select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "source", "fscore"
+    )
+
+
 def q_sanitize_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F3/F4 parity: null-fill cascade + clamp over order years
     o = _tbl(spark, sf_dir, "orders")
@@ -685,7 +805,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_topn": q_threshold_topn,
         "dim_join_revenue": q_dim_join_revenue,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "rollup_counts": q_rollup_counts,
+        "distinct_users": q_distinct_users,
+        "running_sum": q_running_sum,
+        "anti_join": q_anti_join,
+        "mti_pipeline": q_mti_pipeline,
         "semi_join": q_semi_join,
         "intersect_pairs": q_intersect_pairs,
         "events_tumbling": q_events_tumbling,
@@ -794,6 +921,75 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority, revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1
+""",
+        "rollup_counts": """
+SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+""",
+        "running_sum": """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS running_value
+FROM events WHERE user_id < 50
+""",
+        "anti_join": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+        "mti_pipeline": f"""
+WITH bm AS ({_bm25_oracle()}),
+pr AS (SELECT doc_id, ({_quality_expr()}) * 10.0 AS prior FROM documents),
+fused AS (
+  SELECT bm.query_id, bm.doc_id,
+         round((bm.score + pr.prior) / 2.0, 6) AS fscore
+  FROM bm JOIN pr ON bm.doc_id = pr.doc_id
+  WHERE round((bm.score + pr.prior) / 2.0, 6) >= 1.0
+),
+top AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT t.query_id, t.rank, t.doc_id, d.source, t.fscore
+FROM top t JOIN documents d ON t.doc_id = d.doc_id
+WHERE t.rank <= 5
 """,
         "semi_join": """
 SELECT c_custkey FROM customer
