@@ -72,13 +72,18 @@ def main() -> None:
     searcher.close()
     shutil.rmtree(work, ignore_errors=True)
 
-    # --- oracled operator suite over the driver tables ---------------------
+    # --- operator suite over the driver tables -----------------------------
+    # the headline suite holds the operators a 100 TB pipeline actually runs:
+    # candidate-generating dedup (minhash/simhash banding) and ANN (LSH), not
+    # the O(n²) exact verifiers (ngram_jaccard / embed_near_dup) — those stay
+    # in the correctness contract (__spark_entry__) where the oracle checks
+    # them at sf0.01
     suite = [
         "tf_postings", "term_dict", "bm25_topk", "token_count", "language_id",
-        "quality_score", "dedup_exact", "ngram_jaccard", "minhash_lsh",
-        "simhash", "knn_cosine", "embed_near_dup", "topn_per_key",
-        "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q6",
-        "events_tumbling",
+        "quality_score", "dedup_exact", "minhash_lsh", "simhash",
+        "simhash_pairs", "knn_cosine", "knn_lsh", "topn_per_key",
+        "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q3", "tpch_q6",
+        "rollup_counts", "events_tumbling", "mti_pipeline",
     ]
     qs = E.queries()
     for name in suite:
