@@ -204,13 +204,12 @@ def minhash_lsh_pairs(
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
+        .withColumn("__ni", F.size(F.array_intersect("ts_a", "ts_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("ts_a", "ts_b"))
-                / (
-                    F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))
-                ).cast("double"),
+                F.col("__ni")
+                / (F.size("ts_a") + F.size("ts_b") - F.col("__ni")).cast("double"),
                 6,
             ),
         )
