@@ -400,9 +400,14 @@ def build_index(
             .collect()
         )
         for r in seg_metrics:
-            manifest["segments"][str(int(r["seg"]))] = {
+            s = int(r["seg"])
+            manifest["segments"][str(s)] = {
                 "min_doc": int(r["min_doc"]),
                 "max_doc": int(r["max_doc"]),
+                # docs this segment owns (its contiguous doc_id range) — the
+                # streaming ingester's running (N, Σdl) totals include these
+                "n_docs": min(seg_size, n_docs - s * seg_size),
+                "avgdl_build": avgdl,
                 "posting_lists": int(r["posting_lists"]),
                 "postings": int(r["postings"]),
                 "tokens": int(r["tokens"]),

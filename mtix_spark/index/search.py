@@ -42,13 +42,16 @@ SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
 # the index's doclens/seg=K parquet by the query kernel — the doclens
 # relation is NEVER shuffled at query time (it used to ride a cogroup,
 # moving n_docs rows per query; now each task reads only its segment's
-# lengths, and repeat queries hit this cache).
+# lengths, and repeat queries hit this cache). The key carries a build id
+# (manifest mtime) so rebuilding an index at the same path within one
+# executor process invalidates stale entries instead of silently serving
+# wrong doc lengths.
 _DL_CACHE: dict = {}
 _DL_CACHE_MAX = 64
 
 
-def _load_dl(doclens_root: str, seg: int, base: int, n: int) -> "np.ndarray":
-    key = (doclens_root, seg)
+def _load_dl(doclens_root: str, seg: int, base: int, n: int, build_id: float = 0.0) -> "np.ndarray":
+    key = (doclens_root, seg, build_id)
     hit = _DL_CACHE.get(key)
     if hit is not None:
         return hit
@@ -60,7 +63,12 @@ def _load_dl(doclens_root: str, seg: int, base: int, n: int) -> "np.ndarray":
     dl = np.zeros(n, dtype=np.float64)
     for f in glob.glob(os.path.join(doclens_root, f"seg={seg}", "*.parquet")):
         t = pq.read_table(f, columns=["doc_id", "dl"])
-        dl[t["doc_id"].to_numpy() - base] = t["dl"].to_numpy()
+        ids = t["doc_id"].to_numpy() - base
+        vals = t["dl"].to_numpy()
+        # docmap can hold token-less docs outside the postings' doc range
+        # (base/n derive from posting min/max_doc) — mask, don't wrap
+        m = (ids >= 0) & (ids < n)
+        dl[ids[m]] = vals[m]
     if len(_DL_CACHE) >= _DL_CACHE_MAX:
         _DL_CACHE.pop(next(iter(_DL_CACHE)))
     _DL_CACHE[key] = dl
@@ -143,6 +151,7 @@ def _maxscore_kernel(
     idf: dict[str, float],
     avgdl: float,
     k: int,
+    bm_scale: float = 1.0,
 ) -> pd.DataFrame:
     """Term-at-a-time BM25 with MaxScore pruning over one segment.
 
@@ -153,6 +162,13 @@ def _maxscore_kernel(
     (exactness argument: candidate scores only grow, so θ at the split is a
     lower bound of the final k-th candidate score). Block-max metadata lets
     the restricted phase skip whole 128-entry blocks with no candidates.
+
+    `bm_scale` keeps the stored upper bounds sound when the segment was
+    built against a different (e.g. streaming-incremental) avgdl than the
+    query-time one: wtf(avgdl_q) ≤ wtf(avgdl_b) · max(1, avgdl_q/avgdl_b),
+    since the dl term scales at most linearly in 1/avgdl. Exact scores are
+    always recomputed with the query-time avgdl — the scale affects pruning
+    bounds only, never values.
     """
     by_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     ubs: dict[str, float] = {}
@@ -161,7 +177,7 @@ def _maxscore_kernel(
         tfs = decode_varint(r.tfs_bin).astype(np.float64)
         bm = np.asarray(r.block_max_wtf, dtype=np.float64)
         by_term[r.term] = (ids, tfs, bm)
-        ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) if bm.size else 0.0
+        ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) * bm_scale if bm.size else 0.0
 
     out = {"query_id": [], "doc_id": [], "score": []}
     for qid, terms in queries:
@@ -230,13 +246,41 @@ class SegmentSearcher:
     """
 
     def __init__(self, spark: SparkSession, paths: IndexPaths, persist: bool = True):
+        import os
+
+        from mtix_spark.index.build import read_manifest
+
         self.spark = spark
         self.paths = paths
-        with open(paths.stats) as f:
-            stats = json.load(f)
+        manifest = read_manifest(paths)
+        if os.path.exists(paths.stats):
+            with open(paths.stats) as f:
+                stats = json.load(f)
+        else:
+            stats = manifest.get("stats")
+            if stats is None:
+                raise FileNotFoundError(
+                    f"no stats.json and no manifest stats under {paths.root}"
+                )
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
-        self.seg_size = stats["seg_size"]
+        self.seg_size = stats.get("seg_size")
+        # per-segment geometry from the manifest (authoritative — covers
+        # streaming segments whose ids don't follow base = seg * seg_size),
+        # plus the avgdl each segment's block maxima were built against so
+        # MaxScore bounds can be rescaled conservatively (see _maxscore_kernel)
+        self.seg_meta: dict[int, tuple[int, int, float]] = {}
+        for sid, m in manifest.get("segments", {}).items():
+            base = int(m["min_doc"])
+            n = int(m["max_doc"]) - base + 1
+            avgdl_build = float(m.get("avgdl_build", self.avgdl))
+            scale = max(1.0, self.avgdl / avgdl_build) if avgdl_build > 0 else 1.0
+            self.seg_meta[int(sid)] = (base, n, scale)
+        # build id invalidates executor-local doclens caches across rebuilds
+        try:
+            self.build_id = os.path.getmtime(paths.manifest)
+        except OSError:
+            self.build_id = 0.0
         self.postings = spark.read.parquet(paths.postings)
         self.dictionary = spark.read.parquet(paths.dictionary)
         self._persisted = persist
@@ -280,17 +324,23 @@ class SegmentSearcher:
 
         postings = self.postings.filter(F.col("term").isin(sorted(idf)))
         doclens_root = self.paths.doclens
+        seg_meta = self.seg_meta
+        build_id = self.build_id
 
         def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
             seg = int(key[0])
-            base = seg * seg_size
-            n = min(seg_size, n_docs - base)
+            if seg in seg_meta:
+                base, n, scale = seg_meta[seg]
+            else:  # pre-manifest fallback: uniform batch layout
+                base = seg * seg_size
+                n = min(seg_size, n_docs - base)
+                scale = 1.0
             if not len(p):
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}
                 )
-            dl = _load_dl(doclens_root, seg, base, n)
-            return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k)
+            dl = _load_dl(doclens_root, seg, base, n, build_id)
+            return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k, scale)
 
         return postings.groupBy("seg").applyInPandas(
             kernel, "query_id long, doc_id long, score double"

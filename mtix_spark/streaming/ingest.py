@@ -42,20 +42,52 @@ from mtix_spark.index.build import (
 )
 
 
+def _write_stats_from_manifest(paths: IndexPaths, man: dict) -> dict:
+    """stats.json as a pure function of the manifest — recomputable after
+    any crash, so stats can never drift from the committed segment set."""
+    n = sum(int(s.get("n_docs", 0)) for s in man["segments"].values())
+    tok = sum(int(s.get("tokens", 0)) for s in man["segments"].values())
+    stats = {
+        "n_docs": n,
+        "avgdl": (tok / n) if n else 0.0,
+        "n_segments": len(man["segments"]),
+        "seg_size": None,  # geometry lives in the manifest's per-seg doc ranges
+    }
+    man["stats"] = stats
+    tmp = paths.stats + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, paths.stats)
+    return stats
+
+
 def stream_index_ingest(
     spark: SparkSession,
     input_dir: str,
     index_dir: str,
     checkpoint_dir: str,
-    avgdl_hint: float = 1000.0,
 ):
     """Incremental index ingestion: each micro-batch of new corpus files
     becomes one immutable segment (seg id = micro-batch id offset).
 
     docIDs are assigned per-batch above a high-water mark recorded in the
-    manifest; global stats (N, avgdl) are maintained incrementally. Query
-    merge is unchanged — segments are segments, streaming or batch.
-    Returns the StreamingQuery (caller awaits/stops).
+    manifest; global stats (N, avgdl) are maintained incrementally in
+    `stats.json` (derived from the manifest, rewritten every batch — even on
+    idempotent replays — so a crash between data write and manifest commit
+    can never leave them inconsistent). Segment data is written with
+    per-segment `overwrite` into `seg=K/`, so a replayed batch after a crash
+    in the write window rewrites the same files instead of appending
+    duplicates.
+
+    Block-max bounds are built against the running avgdl *including this
+    batch* and that avgdl is recorded per segment (`avgdl_build`); the query
+    kernel rescales bounds by max(1, avgdl_query/avgdl_build), keeping
+    MaxScore pruning sound as the corpus-wide avgdl drifts
+    (mtix_spark/index/search.py:_maxscore_kernel).
+
+    The result is a fully queryable index: SegmentSearcher derives each
+    segment's (base, n) from the manifest doc ranges, so streaming ids
+    (1_000_000+batch) coexist with batch ids. Returns the StreamingQuery.
     """
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -67,12 +99,15 @@ def stream_index_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        man = read_manifest(paths)
+        seg_id = 1_000_000 + batch_id  # streaming segments live above batch ids
+        if str(seg_id) in man["segments"]:
+            _write_stats_from_manifest(paths, man)  # heal a stale stats.json
+            _commit_manifest(paths, man)
+            return  # replayed batch after restart — idempotent skip
         rows = batch_df.count()
         if rows == 0:
             return
-        man = read_manifest(paths)
-        if str(1_000_000 + batch_id) in man["segments"]:
-            return  # replayed batch after restart — idempotent skip
         hwm = max(
             (s.get("max_doc", -1) for s in man["segments"].values()), default=-1
         )
@@ -81,7 +116,15 @@ def stream_index_ingest(
         docs = assign_doc_ids(batch_df, 4).withColumn(
             "doc_id", F.col("doc_id") + F.lit(hwm + 1)
         )
-        seg_id = 1_000_000 + batch_id  # streaming segments live above batch ids
+        docs = docs.persist()
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tok")
+        ).collect()[0]
+        n_batch, tok_batch = int(agg["n"]), int(agg["tok"] or 0)
+        prev_n = sum(int(s.get("n_docs", 0)) for s in man["segments"].values())
+        prev_tok = sum(int(s.get("tokens", 0)) for s in man["segments"].values())
+        avgdl_build = (prev_tok + tok_batch) / max(prev_n + n_batch, 1)
+
         tf = (
             docs.select("doc_id", F.explode(tokenize("content")).alias("term"))
             .groupBy("term", "doc_id")
@@ -94,29 +137,44 @@ def stream_index_ingest(
             tf.join(dl, "doc_id")
             .groupBy("seg")
             .applyInPandas(
-                lambda pdf: _build_segment_postings(pdf, avgdl_hint), POSTINGS_SCHEMA
+                lambda pdf: _build_segment_postings(pdf, avgdl_build), POSTINGS_SCHEMA
             )
         )
-        postings.write.mode("append").parquet(
+        # drop the constant seg column: the data lands inside seg=K/ so the
+        # reader recovers it by partition discovery (same layout as the batch
+        # build's partitionBy); overwrite => crash-replay idempotent
+        postings.drop("seg").write.mode("overwrite").parquet(
             os.path.join(paths.postings, f"seg={seg_id}")
         )
         docs.select(
             "doc_id", F.col("doc_len").alias("dl"),
             "repo", "path", "commit", "lang", "content_sha256",
-        ).write.mode("append").parquet(os.path.join(paths.docmap, f"seg={seg_id}"))
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("tok")
-        ).collect()[0]
-        man = read_manifest(paths)
+        ).write.mode("overwrite").parquet(os.path.join(paths.docmap, f"seg={seg_id}"))
+        docs.unpersist()
+        # refresh the global dictionary from the postings relation (derived
+        # data — a replayed batch just rewrites it). df/cf sum cleanly over
+        # doc-range-disjoint segments. At 10^12 scale this becomes an
+        # incremental merge keyed by term; per-batch recompute is the
+        # sandbox-size rendition of the same derivation.
+        sess = batch_df.sparkSession
+        (
+            sess.read.parquet(paths.postings)
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(paths.dictionary)
+        )
         man["segments"][str(seg_id)] = {
             "min_doc": hwm + 1,
-            "max_doc": hwm + int(stats["n"]),
-            "postings": None,
-            "posting_lists": None,
+            "max_doc": hwm + n_batch,
+            "n_docs": n_batch,
+            "tokens": tok_batch,
+            "avgdl_build": avgdl_build,
             "build_wall_ms": round((time.time() - t0) * 1000, 1),
             "lineage": {"source": "stream", "batch_id": batch_id, "rows": rows},
         }
-        _commit_manifest(paths, man)
+        _write_stats_from_manifest(paths, man)
+        _commit_manifest(paths, man)  # atomic commit point, last
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -151,30 +151,67 @@ def test_metadata_stats_prunes_payload(spark, tmp_path):
 
 
 def test_stream_index_ingest_and_query(spark, tmp_path):
-    """File-stream ingestion builds queryable segments; results equal a
-    batch build over the same rows."""
+    """File-stream ingestion builds queryable segments; top-k results are
+    rank-identical to a batch build over the same rows (after mapping the
+    two builds' dense doc ids back to file paths — id assignment order
+    differs between arrival-order streaming and the global batch sort)."""
     import glob
+    import json as J
 
-    from mtix_spark.corpus import synth_corpus
-    from mtix_spark.index.build import IndexPaths
+    from mtix_spark.corpus import synth_corpus, synth_queries
+    from mtix_spark.index.build import IndexPaths, assign_doc_ids, build_index
+    from mtix_spark.index.search import SegmentSearcher
     from mtix_spark.streaming.ingest import stream_index_ingest
 
     src = str(tmp_path / "src")
-    corpus = synth_corpus(spark, 300, n_parts=3)
+    corpus = synth_corpus(spark, 300, n_parts=12)  # 12 files / 4 per trigger → 3 micro-batches
     corpus.write.parquet(src)
     idx = str(tmp_path / "sidx")
     q = stream_index_ingest(spark, src, idx, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     paths = IndexPaths(idx)
-    import json as J
 
     man = J.load(open(paths.manifest))
-    assert len(man["segments"]) >= 1
+    assert len(man["segments"]) > 1  # multiple micro-batches → multiple segments
     n_docs = sum(
         s["max_doc"] - s["min_doc"] + 1 for s in man["segments"].values()
     )
     assert n_docs == 300
     assert len(glob.glob(f"{idx}/postings/seg=*/*.parquet")) >= 1
+    stats = J.load(open(paths.stats))
+    assert stats["n_docs"] == 300 and stats["avgdl"] > 0
+
+    # batch twin over the same rows
+    bidx = str(tmp_path / "bidx")
+    bpaths = build_index(
+        spark, assign_doc_ids(spark.read.parquet(src), 4), bidx, n_segments=4
+    )
+
+    queries = [
+        (qid, text) for qid, text, _ in (
+            (r["query_id"], r["text"], r["k"])
+            for r in synth_queries(spark, 12).collect()
+        )
+    ]
+
+    def ranked_by_path(ppaths, searcher):
+        remap = {
+            r["doc_id"]: r["path"]
+            for r in spark.read.parquet(ppaths.docmap).select("doc_id", "path").collect()
+        }
+        out = {}
+        for r in searcher.search(queries, k=20).collect():
+            out.setdefault(r["query_id"], []).append((r["score"], remap[r["doc_id"]]))
+        # re-rank on (score desc, path asc): id-independent total order
+        return {
+            qid: sorted(rows, key=lambda t: (-t[0], t[1]))[:10]
+            for qid, rows in out.items()
+        }
+
+    s_res = ranked_by_path(paths, SegmentSearcher(spark, paths, persist=False))
+    b_res = ranked_by_path(bpaths, SegmentSearcher(spark, bpaths, persist=False))
+    assert s_res == b_res
+    assert any(len(v) > 0 for v in s_res.values())
 
 
 def test_windowed_counts_batch_twin(spark):
