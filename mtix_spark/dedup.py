@@ -166,39 +166,198 @@ def minhash_lsh_pairs(
     pairs sharing any band are exactly verified. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard = exact token-set
     Jaccard rounded to 6, filtered at `threshold`.
+
+    Verification never ships token arrays per candidate pair (a near-dup-
+    heavy corpus yields ~|cluster|² pairs per dup cluster; moving each
+    doc's whole token set once per pair made this the slowest suite query).
+    Two exact paths, picked by the candidate shard's vocabulary size:
+
+    - **bitset kernel** (dense shards, vocab ≤ _BITSET_MAX_VOCAB): factorize
+      the candidate docs' distinct terms, pack each doc's token set into a
+      ⌈V/64⌉-word bit row, broadcast the (n_cand_docs × words) matrix, and
+      compute |A∩B| = popcount(bits_a & bits_b) in a vectorized Arrow batch
+      kernel over the pair relation — O(words) per pair at memory bandwidth,
+      no token shuffle at all. This is the right tier post-banding: LSH has
+      already localized candidates, so the shard's doc set (and with code/
+      template-like corpora, its vocab) is small even when the corpus isn't.
+    - **pair join** (fallback, unbounded vocab): equi-join the per-doc
+      distinct-token arrays to the pair relation and `array_intersect` —
+      the general plan whose shuffle is pairs × doclen.
+
+    Both paths compute the identical integer |A∩B| and set sizes, so the
+    rounded Jaccard is bit-equal to the SQL oracle either way.
     """
-    sig = minhash_signatures(docs, id_col, text_col)
-    # collect_list order is nondeterministic — sort by perm inside the struct
-    bands = (
-        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("bandsig")
+    # one-shuffle signatures: 16 min-aggregates over the token-hash relation
+    # (same (a,b,P) family as minhash_signatures — identical values, but no
+    # 16× crossJoin row blowup and no second shuffle), then band signatures
+    # as string concat in the same projection
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
         )
+        .withColumn("h", token_hash("term"))
+        .persist()  # one tokenize+hash pass feeds signatures AND the bitset collect
+    )
+    mins = tok.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"m{i}"
+            )
+            for i, a, b in _perm_params()
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{bi * ROWS_PER_BAND + j}").cast("string")
+                    for j in range(ROWS_PER_BAND)
+                ],
+            ).alias("bandsig"),
+        )
+        for bi in range(N_BANDS)
+    ]
+    bands = (
+        mins.select("id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.bandsig").alias("bandsig"))
+        .persist()  # both sides of the self-join + the shard-kernel collect
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bandsig") == F.col("b.bandsig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bandsig") == F.col("b.bandsig"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
     )
+    if docs.count() <= _BITSET_MAX_DOCS:
+        # per-doc token sets from the persisted (id, term) relation
+        by_doc: dict = {}
+        for r in tok.select("id", "term").collect():
+            by_doc.setdefault(r["id"], []).append(r["term"])
+        doc_rows = [{"id": i, "ts": ts} for i, ts in by_doc.items()]
+        vocab = sorted({t for ts in by_doc.values() for t in ts})
+        if len(vocab) <= _BITSET_MAX_VOCAB:
+            return _verify_banded_bitset(raw, bands, doc_rows, vocab, threshold)
     toks = docs.select(
-        F.col(id_col).alias("id"), F.array_distinct(tokenize(F.col(text_col))).alias("ts")
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("ts"),
     )
+    cand = raw.select("id_a", "id_b").distinct()
+    return _verify_pairs_join(cand, toks, threshold)
+
+
+# bitset fast path applies while the candidate shard's vocab packs into
+# ≤ 256 words/doc (16384 terms) and the doc-bitset matrix stays a small
+# broadcast; past that, the general pair join takes over.
+_BITSET_MAX_VOCAB = 16_384
+_BITSET_MAX_DOCS = 2_000_000
+
+
+def _verify_banded_bitset(
+    raw: DataFrame,
+    bands: DataFrame,
+    doc_rows: list,
+    vocab: list,
+    threshold: float,
+) -> DataFrame:
+    """Dense-shard verification over the raw (band, id_a, id_b) match
+    relation — no distinct() shuffle, no token movement.
+
+    Pair dedup across bands happens inside the kernel: with every doc's
+    per-band signature codes in the broadcast, a pair is kept only in the
+    FIRST band where the two signatures agree (each raw row agrees in its
+    own band, so exactly one of its ≤N_BANDS occurrences survives,
+    whichever partition it lives in — replacing a 10⁷-row distinct()
+    exchange with a local vectorized test). |A∩B| is
+    popcount(bits_a & bits_b) over packed token bitsets — O(words) per pair
+    at memory bandwidth. The rounded threshold is re-applied in Spark so
+    round() semantics match the SQL oracle exactly (the kernel pre-filters
+    with a small margin).
+
+    At 10¹²-doc scale the same kernel runs per LSH shard (banding has
+    already localized candidates, bounding the broadcast); corpora whose
+    shard vocab/doc count exceed the caps fall back to the relational
+    pair join upstream.
+    """
+    import numpy as np
+
+    spark = bands.sparkSession
+    term_idx = {t: i for i, t in enumerate(vocab)}
+    n_words = max(1, -(-len(vocab) // 64))
+    ids = np.array([r["id"] for r in doc_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    bits = np.zeros((len(ids), n_words), dtype=np.uint64)
+    sizes = np.zeros(len(ids), dtype=np.int64)
+    for row_pos, r in enumerate(doc_rows[i] for i in order):
+        for t in r["ts"]:
+            j = term_idx[t]
+            bits[row_pos, j >> 6] |= np.uint64(1) << np.uint64(j & 63)
+        sizes[row_pos] = len(r["ts"])
+
+    # per-doc band-signature codes (interned strings -> ints) for the
+    # first-matching-band dedup rule
+    bandcode = np.zeros((len(ids), N_BANDS), dtype=np.int64)
+    codes: dict[str, int] = {}
+    for r in bands.collect():
+        pos = int(np.searchsorted(ids, r["id"]))
+        bandcode[pos, r["band"]] = codes.setdefault(r["bandsig"], len(codes))
+    bc = spark.sparkContext.broadcast((ids, bits, sizes, bandcode))
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        b_ids, b_bits, b_sizes, b_bandcode = bc.value
+        for pdf in batches:
+            ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy())
+            first = (b_bandcode[ia] == b_bandcode[ib]).argmax(axis=1)
+            keep = first == pdf["band"].to_numpy()
+            ia, ib = ia[keep], ib[keep]
+            if not ia.size:
+                continue
+            inter_bits = b_bits[ia] & b_bits[ib]
+            ni = lut[inter_bits.view(np.uint8)].reshape(len(ia), -1).sum(1)
+            na, nb = b_sizes[ia], b_sizes[ib]
+            jkeep = (ni / np.maximum(na + nb - ni, 1)) >= threshold - 1e-6
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[ia[jkeep]],
+                    "id_b": b_ids[ib[jkeep]],
+                    "__ni": ni[jkeep],
+                    "__na": na[jkeep],
+                    "__nb": nb[jkeep],
+                }
+            )
+
+    counted = raw.mapInPandas(
+        kernel, "id_a long, id_b long, __ni long, __na long, __nb long"
+    )
+    return (
+        counted.withColumn(
+            "jaccard",
+            F.round(
+                F.col("__ni")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_pairs_join(cand: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
+    """General verification: token arrays joined to the pair relation."""
     ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     return (
