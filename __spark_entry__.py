@@ -465,6 +465,14 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # at-scale LSH-bucketed variant (approximate recall) → rows-only check;
+    # recall + no-cartesian plan asserted in tests/test_extensions.py
+    from mtix_spark.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(_tbl(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def _embed_near_dup_oracle() -> str:
     def dot(x, y):
         return f"list_sum(list_transform(range(64), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE))"
@@ -800,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "topn_per_key": q_topn_per_key,
         "run_fusion": q_run_fusion,
         "threshold_topn": q_threshold_topn,

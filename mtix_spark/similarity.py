@@ -165,6 +165,58 @@ def knn_cosine_lsh(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-LSH candidate
+    generation → exact cosine only on colliding pairs.
+
+    Every row lands in one bucket per table (`lsh_buckets_udf`, one matmul
+    per Arrow batch); candidates are the same-bucket pairs of each table —
+    an equi-join on (table, bucket), shuffle keyed by bucket, never O(n²).
+    Distinct candidate pairs then join the embedding table twice (shuffles
+    keyed by id) for the exact ordered-sum cosine, so precision is exact;
+    recall is the LSH collision probability (≈1−(1−p^P)^T, asserted ≥0.9 on
+    clustered data in tests). Returns (id_a, id_b, cosine ≥ threshold),
+    cosine rounded to 6. The all-pairs twin below is the small-scale oracle.
+    """
+    udf = lsh_buckets_udf(n_tables, n_planes)
+    tabbed = embeddings.select(
+        id_col, F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
+    )
+    a = tabbed.alias("a")
+    b = tabbed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -173,9 +225,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Exact all-pairs — O(n²) scored pairs, acceptable for dedup *verification*
-    tiers; the LSH bucketing above is the at-scale candidate generator.
-    Cosine rounded to 6 before thresholding (oracle-stable).
+    Exact all-pairs — O(n²) scored pairs: this is the small-scale ORACLE
+    TWIN for `embedding_near_dup_pairs_lsh` above (which is the at-scale
+    entry: LSH candidates, no cartesian anywhere in its plan). Cosine
+    rounded to 6 before thresholding (oracle-stable).
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

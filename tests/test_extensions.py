@@ -85,6 +85,39 @@ def test_knn_lsh_scores_exact_and_weak_recall(spark, emb500):
             assert abs(bs[k] - r["cosine"]) < 1e-9
 
 
+def test_embed_near_dup_lsh_recall_and_plan(spark):
+    """LSH-fronted near-dup: precision exact (subset of the all-pairs twin
+    with identical cosines), recall ≥0.9 on clustered data, and the plan
+    contains no cartesian / broadcast-nested-loop join."""
+    import numpy as np
+
+    from mtix_spark.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((30, 64))
+    rows = []
+    for i in range(300):
+        v = centers[i % 30] + 0.15 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lsh_df = embedding_near_dup_pairs_lsh(emb, threshold=0.9)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh_df.collect()}
+    assert set(lsh) <= set(exact)               # exact precision
+    for k, c in lsh.items():
+        assert abs(c - exact[k]) < 1e-9         # identical exact cosines
+    assert len(lsh) / max(len(exact), 1) >= 0.9  # recall
+
+
 def test_knn_lsh_high_recall_on_clustered_data(spark):
     """Planted-cluster embeddings (true near-neighbor structure): recall ≥0.9."""
     import numpy as np
