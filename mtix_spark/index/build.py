@@ -442,13 +442,36 @@ def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
     Fragments (sorted by min_doc) never interleave, so the merge is a pure
     concatenation — decode each delta stream, stitch (first delta of each
     subsequent fragment rebased onto the previous fragment's last doc), and
-    re-encode. Vectorized numpy; no per-posting Python."""
+    re-encode. Vectorized numpy; no per-posting Python.
+
+    Block-max metadata is REBUILT on the merged BLOCK_SIZE grid (fragment
+    lengths are rarely multiples of BLOCK_SIZE, so merged block k does not
+    start at the source fragments' block boundaries): each posting takes its
+    source fragment-block's max as a per-posting upper bound, and the merged
+    block max is the reduceat of those bounds over the merged grid. Exact
+    when fragments align; otherwise a sound over-estimate (bound ≥ true
+    block max), which is what MaxScore pruning requires."""
     from mtix_spark.index.codec import decode_varint, delta_decode
 
     pdf = pdf.sort_values("min_doc")
-    ids = np.concatenate([delta_decode(b) for b in pdf["doc_ids_bin"]])
+    frag_ids = [delta_decode(b) for b in pdf["doc_ids_bin"]]
+    ids = np.concatenate(frag_ids)
     tfs = np.concatenate([decode_varint(b) for b in pdf["tfs_bin"]])
-    bm = np.concatenate([np.asarray(b, dtype=np.float32) for b in pdf["block_max_wtf"]])
+    # per-posting upper bound from each source fragment's block maxima
+    per_posting_ub = np.concatenate(
+        [
+            np.repeat(
+                np.asarray(b, dtype=np.float32),
+                np.minimum(
+                    BLOCK_SIZE,
+                    n - BLOCK_SIZE * np.arange(len(b), dtype=np.int64),
+                ),
+            )
+            for b, n in zip(pdf["block_max_wtf"], (f.size for f in frag_ids))
+        ]
+    )
+    merged_starts = np.arange(0, ids.size, BLOCK_SIZE, dtype=np.int64)
+    bm = np.maximum.reduceat(per_posting_ub, merged_starts).astype(np.float32)
     cf_col = "cf" if "cf" in pdf.columns else "cf_seg"
     return pd.DataFrame(
         {

@@ -150,6 +150,80 @@ def test_merge_postings_matches_tf(spark, small_docs, small_index):
         assert r["df"] == len(exp)
 
 
+def test_merged_topk_matches_brute_and_segments(spark, small_docs, small_index):
+    """The merged-list query path (B5 consumer) is rank-identical to the
+    segment path and the brute oracle, with the hot/salted merge forced."""
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.search import merged_topk
+
+    merge_postings(spark, small_index, hot_df=50, n_salt=4)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 25).collect()]
+    n, avgdl = corpus_stats(small_docs)
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    tf = build_tf(small_docs)
+    dl = small_docs.select("doc_id", F.col("doc_len").alias("dl"))
+    brute = _rows(bm25_brute(tf, dl, qdf, n, avgdl, k=50))
+    seg = _rows(bm25_topk_segments(spark, small_index, queries, k=50))
+    pdf = merged_topk(spark, small_index, queries, k=50)
+    mrg = sorted(
+        (int(q), int(rk), int(d), round(float(sc), 4))
+        for q, rk, d, sc in pdf.itertuples(index=False)
+    )
+    assert mrg == brute == seg
+    assert merged_topk(spark, small_index, [(1, "zz_oov_zz"), (2, "")], k=5).empty
+
+
+def test_merged_blockmax_sound_on_unaligned_fragments():
+    """Fragments whose lengths are not BLOCK_SIZE multiples (e.g. 100
+    postings) must yield merged block maxima that upper-bound the true
+    per-block wtf max on the merged 128-grid."""
+    import numpy as np
+    import pandas as pd
+
+    from mtix_spark.index.build import (
+        BLOCK_SIZE,
+        B,
+        K1,
+        _build_segment_postings,
+        _concat_postings,
+    )
+    from mtix_spark.index.codec import decode_varint, delta_decode
+
+    rng = np.random.default_rng(3)
+    avgdl = 50.0
+    frags = []
+    base = 0
+    for n_post in (100, 300, 57):  # none a multiple of 128
+        ids = base + np.arange(n_post)
+        tfs = rng.integers(1, 9, n_post)
+        dls = rng.integers(10, 200, n_post)
+        pdf = pd.DataFrame(
+            {"seg": 0, "term": "t", "doc_id": ids, "tf": tfs, "dl": dls}
+        )
+        frags.append(_build_segment_postings(pdf, avgdl))
+        base += n_post
+        # remember ground truth per posting
+    all_frags = pd.concat(frags, ignore_index=True)
+    merged = _concat_postings(all_frags).iloc[0]
+
+    ids = delta_decode(merged["doc_ids_bin"])
+    tfs = decode_varint(merged["tfs_bin"]).astype(float)
+    assert list(ids) == list(range(457))
+    # recompute true wtf from the original dls (reconstruct in same order)
+    rng = np.random.default_rng(3)
+    dls_all = []
+    for n_post in (100, 300, 57):
+        rng.integers(1, 9, n_post)
+        dls_all.append(rng.integers(10, 200, n_post))
+    dls = np.concatenate(dls_all).astype(float)
+    wtf = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    bm = np.asarray(merged["block_max_wtf"], dtype=np.float64)
+    starts = np.arange(0, ids.size, BLOCK_SIZE)
+    true_bm = np.maximum.reduceat(wtf, starts)
+    assert bm.size == starts.size
+    assert np.all(bm + 1e-6 >= true_bm)  # sound upper bounds on the merged grid
+
+
 def test_search_topk_matches_search(spark, small_docs, small_index):
     """Driver-merge latency path == DataFrame path, row for row."""
     from mtix_spark.index.search import SegmentSearcher
