@@ -160,8 +160,10 @@ def _maxscore_kernel(
     current k-th best accumulated score, docs not yet seen cannot enter the
     top-k, so remaining posting lists only update existing candidates
     (exactness argument: candidate scores only grow, so θ at the split is a
-    lower bound of the final k-th candidate score). Block-max metadata lets
-    the restricted phase skip whole 128-entry blocks with no candidates.
+    lower bound of the final k-th candidate score). The restricted phase is
+    a sorted-array intersection against the candidate set — O(|postings|
+    log |candidates|), touching no non-candidate entries. Block-max
+    metadata supplies the per-term upper bounds driving the split.
 
     `bm_scale` keeps the stored upper bounds sound when the segment was
     built against a different (e.g. streaming-incremental) avgdl than the
@@ -187,47 +189,43 @@ def _maxscore_kernel(
         # deterministic processing order: UB desc, term asc
         terms = sorted(terms, key=lambda t: (-ubs[t], t))
         suffix_ub = np.cumsum([ubs[t] for t in terms][::-1])[::-1]
-        acc = np.zeros(seg_n, dtype=np.float64)
+        # candidate-sparse accumulation: (sorted local ids, scores) — peak
+        # memory ∝ candidate postings, never segment size (a dense
+        # np.zeros(seg_n) per query is ~1 GB at 10⁸-doc segments)
+        cand_local = np.empty(0, dtype=np.int64)
+        cand_acc = np.empty(0, dtype=np.float64)
         restricted = False
         for i, t in enumerate(terms):
             ids, tfs, bm = by_term[t]
-            if not restricted and i > 0:
-                nnz = np.count_nonzero(acc)
-                if nnz >= k:
-                    theta = np.partition(acc, seg_n - k)[seg_n - k]
-                    if suffix_ub[i] < theta:
-                        restricted = True
+            if not restricted and i > 0 and cand_local.size >= k:
+                theta = np.partition(cand_acc, cand_acc.size - k)[cand_acc.size - k]
+                if suffix_ub[i] < theta:
+                    restricted = True
             local = ids - seg_base
+            w = idf[t] * tfs * (K1 + 1.0) / (
+                tfs + K1 * (1.0 - B + B * dl_by_doc[local] / avgdl)
+            )
             if restricted:
-                # block-max skip: only blocks holding current candidates
-                w_idf = idf[t]
-                bs = BLOCK_SIZE
-                for bi in range(bm.size):
-                    sl = slice(bi * bs, min((bi + 1) * bs, local.size))
-                    cand = acc[local[sl]] > 0.0
-                    if not cand.any():
-                        continue
-                    li = local[sl][cand]
-                    tfv = tfs[sl][cand]
-                    dl = dl_by_doc[li]
-                    acc[li] += w_idf * tfv * (K1 + 1.0) / (
-                        tfv + K1 * (1.0 - B + B * dl / avgdl)
-                    )
+                # update existing candidates only: sorted-array intersection
+                pos = np.searchsorted(cand_local, local)
+                pos_c = np.minimum(pos, cand_local.size - 1)
+                hit = cand_local[pos_c] == local
+                cand_acc[pos_c[hit]] += w[hit]  # hit indices unique (both sorted-unique)
             else:
-                dl = dl_by_doc[local]
-                acc[local] += idf[t] * tfs * (K1 + 1.0) / (
-                    tfs + K1 * (1.0 - B + B * dl / avgdl)
-                )
-        nz = np.flatnonzero(acc)
-        if nz.size == 0:
+                merged = np.unique(np.concatenate([cand_local, local]))
+                new_acc = np.zeros(merged.size, dtype=np.float64)
+                new_acc[np.searchsorted(merged, cand_local)] = cand_acc
+                new_acc[np.searchsorted(merged, local)] += w
+                cand_local, cand_acc = merged, new_acc
+        if cand_local.size == 0:
             continue
-        kk = min(k, nz.size)
-        top = nz[np.argpartition(-acc[nz], kk - 1)[:kk]]
-        order = np.lexsort((top, -acc[top]))  # score desc, doc_id asc
+        kk = min(k, cand_local.size)
+        top = np.argpartition(-cand_acc, kk - 1)[:kk]
+        order = np.lexsort((cand_local[top], -cand_acc[top]))  # score desc, doc asc
         top = top[order]
         out["query_id"].extend([qid] * top.size)
-        out["doc_id"].extend((top + seg_base).tolist())
-        out["score"].extend(np.round(acc[top], SCORE_DECIMALS).tolist())
+        out["doc_id"].extend((cand_local[top] + seg_base).tolist())
+        out["score"].extend(np.round(cand_acc[top], SCORE_DECIMALS).tolist())
     return pd.DataFrame(out)
 
 

@@ -173,6 +173,45 @@ def test_merged_topk_matches_brute_and_segments(spark, small_docs, small_index):
     assert merged_topk(spark, small_index, [(1, "zz_oov_zz"), (2, "")], k=5).empty
 
 
+def test_maxscore_kernel_memory_proportional_to_candidates():
+    """Kernel peak allocation must scale with candidate postings, not the
+    declared segment size: a 5M-doc segment holding 2k posting docs must
+    stay far below the ~40 MB a dense per-query accumulator would take."""
+    import tracemalloc
+
+    import numpy as np
+    import pandas as pd
+
+    from mtix_spark.index.build import BLOCK_SIZE
+    from mtix_spark.index.codec import delta_encode, encode_varint
+    from mtix_spark.index.search import _maxscore_kernel
+
+    seg_n = 5_000_000
+    rng = np.random.default_rng(9)
+    rows = []
+    for t in ["alpha", "beta", "gamma"]:
+        ids = np.sort(rng.choice(seg_n, 2000, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 6, 2000).astype(np.uint64)
+        rows.append(
+            {
+                "term": t,
+                "doc_ids_bin": delta_encode(ids),
+                "tfs_bin": encode_varint(tfs),
+                "block_max_wtf": np.full((2000 + BLOCK_SIZE - 1) // BLOCK_SIZE, 2.2, np.float32),
+            }
+        )
+    postings = pd.DataFrame(rows)
+    dl = np.full(seg_n, 100.0)  # per-segment, loaded once, outside the kernel
+    queries = [(1, ["alpha", "beta", "gamma"])] * 5
+    idf = {"alpha": 2.0, "beta": 1.5, "gamma": 1.0}
+    tracemalloc.start()
+    out = _maxscore_kernel(postings, dl, 0, seg_n, queries, idf, 100.0, 10)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 50  # 5 queries × k=10
+    assert peak < 5_000_000  # dense would be ≥ 40 MB for one query alone
+
+
 def test_merged_blockmax_sound_on_unaligned_fragments():
     """Fragments whose lengths are not BLOCK_SIZE multiples (e.g. 100
     postings) must yield merged block maxima that upper-bound the true
