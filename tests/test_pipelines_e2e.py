@@ -1,0 +1,167 @@
+"""End-to-end IndexingPipeline parity: parse → sanitize → BM25 retrieve →
+pointwise/listwise rerank (stub adapters) → fuse → threshold → format →
+subheadings, value-checked against a committed golden fixture — mirroring
+/root/reference/src/mtix/integration_tests/test_pipelines.py:42-46."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden_mti.json")
+
+
+def _xml(pmid, title, abstract_sections, journal, nlmid, pub_year=None,
+         medline_date=None, year_completed=None):
+    pd = (
+        f"<Year>{pub_year}</Year>" if pub_year
+        else f"<MedlineDate>{medline_date}</MedlineDate>" if medline_date
+        else ""
+    )
+    abst = "".join(
+        f'<AbstractText Label="{lab}">{txt}</AbstractText>' if lab
+        else f"<AbstractText>{txt}</AbstractText>"
+        for lab, txt in abstract_sections
+    )
+    dc = f"<DateCompleted><Year>{year_completed}</Year></DateCompleted>" if year_completed else ""
+    return (
+        f"<MedlineCitation><PMID>{pmid}</PMID>{dc}"
+        f"<MedlineJournalInfo><NlmUniqueID>{nlmid}</NlmUniqueID></MedlineJournalInfo>"
+        f"<Article><Journal><Title>{journal}</Title>"
+        f"<JournalIssue><PubDate>{pd}</PubDate></JournalIssue></Journal>"
+        f"<ArticleTitle>{title}</ArticleTitle>"
+        f"<Abstract>{abst}</Abstract></Article></MedlineCitation>"
+    )
+
+
+def _payloads(spark):
+    xmls = [
+        (101, _xml(101, "Heart disease and lung cancer risk",
+                   [("BACKGROUND", "heart disease cohort study"),
+                    (None, "lung cancer progression markers")],
+                   "Journal of Heart Research", "0404511",
+                   pub_year=2018, year_completed=2019)),
+        (102, _xml(102, "Diabetes mellitus [type 2] [review]",
+                   [(None, "diabetes mellitus insulin resistance")],
+                   "Metabolism Quarterly", "0401001",
+                   medline_date="2020 Spring", year_completed=2021)),
+        (103, _xml(103, "Asthma airway inflammation",
+                   [("METHODS", "asthma bronchial inflammation measurements")],
+                   "Respiratory Letters", "0402002")),  # no dates → sanitizer fills
+    ]
+    rows = [
+        (pmid, base64.b64encode(zlib.compress(x.encode())).decode("ascii"))
+        for pmid, x in xmls
+    ]
+    return spark.createDataFrame(rows, "uid long, data string")
+
+
+def _dims(spark):
+    names = spark.createDataFrame(
+        [
+            (1, "heart disease"),
+            (2, "lung cancer"),
+            (3, "diabetes mellitus"),
+            (4, "asthma"),
+            (5, "inflammation"),
+            (6, "insulin resistance"),
+        ],
+        "p_id long, name string",
+    )
+    duis = spark.createDataFrame(
+        [(i, f"D{i:06d}") for i in range(1, 7)], "p_id long, dui string"
+    )
+    sub_names = spark.createDataFrame(
+        [("Q000139", "blood"), ("Q000628", "therapy")], "qui string, name string"
+    )
+    return names, duis, sub_names
+
+
+def _bm25_retriever(spark, names):
+    """The replaced candidate stage: BM25 over the descriptor-name corpus."""
+    from mtix_spark.functions.text import tokenize
+    from mtix_spark.index.search import bm25_brute
+
+    docs = names.select(F.col("p_id").alias("doc_id"), F.col("name").alias("text"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(tokenize("text")).alias("dl"))
+    n = docs.count()
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
+
+    def retrieve(queries):
+        out = bm25_brute(tf, dl, queries.withColumnRenamed("q_id", "query_id"),
+                         n, avgdl, k=100)
+        return out.select(
+            F.col("query_id").alias("q_id"),
+            F.col("doc_id").alias("p_id"),
+            "score",
+        )
+
+    return retrieve
+
+
+def _run_pipeline(spark):
+    from mtix_spark.adapters import (
+        stub_listwise_model,
+        stub_pointwise_model,
+        stub_subheading_model,
+    )
+    from mtix_spark.pipelines import indexing_pipeline
+
+    names, duis, sub_names = _dims(spark)
+    return indexing_pipeline(
+        spark,
+        _payloads(spark),
+        names,
+        duis,
+        sub_names,
+        retriever=_bm25_retriever(spark, names),
+        pointwise_model=stub_pointwise_model,
+        listwise_model=stub_listwise_model,
+        subheading_model=stub_subheading_model,
+        threshold=0.48,
+    )
+
+
+def test_indexing_pipeline_golden(spark):
+    out = _run_pipeline(spark)
+    got = [json.loads(s) for s in out.orderBy("q_id").toJSON().collect()]
+    with open(GOLDEN) as f:
+        expected = json.load(f)
+    assert got == expected
+
+
+def test_indexing_pipeline_shape_invariants(spark):
+    rows = _run_pipeline(spark).collect()
+    assert {r["q_id"] for r in rows} <= {101, 102, 103}
+    for r in rows:
+        scores = []
+        for ix in r["indexing"]:
+            assert ix["type"] == "Descriptor"
+            assert ix["id"].startswith("D")
+            assert ix["reason"].startswith("score: ")
+            scores.append(float(ix["reason"].split(": ")[1]))
+            for sh in ix["subheadings"]:
+                assert sh["id"].strip()  # P4: sentinel rows dropped
+                assert sh["name"] in ("blood", "therapy")
+        assert scores == sorted(scores, reverse=True)  # A3 desc order
+
+
+def test_write_mti_json_roundtrip(spark, tmp_path):
+    from mtix_spark.sources.citations import write_mti_json
+
+    out = _run_pipeline(spark)
+    path = str(tmp_path / "mti")
+    write_mti_json(out, _payloads(spark), path)
+    back = spark.read.json(path)
+    assert back.count() == out.count()
+    assert set(back.columns) >= {"PMID", "Indexing", "text-gz-64"}
