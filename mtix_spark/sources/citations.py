@@ -112,12 +112,21 @@ def _parse_one(xml: str) -> dict:
     else:
         md = text_of(root.find("Article/Journal/JournalIssue/PubDate/MedlineDate"))
         if md:
-            # first-4-chars-numeric, else first \d{4} (F5 semantics)
+            # full F5 contract (src/mtix/utils.py:176-190): first-4-chars
+            # numeric, else first \d{4}, else dateutil fuzzy ("24th Mar '01")
             if len(md) >= 4 and md[:4].isdigit():
                 pub_year = int(md[:4])
             else:
                 m = re.search(r"\d{4}", md)
-                pub_year = int(m.group(0)) if m else None
+                if m:
+                    pub_year = int(m.group(0))
+                else:
+                    try:
+                        from dateutil import parser as duparser
+
+                        pub_year = duparser.parse(md, fuzzy=True).date().year
+                    except Exception:
+                        pub_year = None
     yc = text_of(root.find("DateCompleted/Year"))
     year_completed = int(yc) if yc and yc.isdigit() else None
 

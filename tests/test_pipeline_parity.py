@@ -119,6 +119,50 @@ def test_extract_pub_year_cases(spark):
     assert got == [2021, 2019, None, 1998]
 
 
+def test_extract_pub_year_full_reference_matrix(spark):
+    """F5 with the fuzzy tail — the reference's complete MedlineDate matrix
+    (/root/reference/src/mtix/tests/test_utils.py:311-322), including the
+    dateutil-only cases '24th March 2018' and \"24th Mar '01\"."""
+    from mtix_spark.functions.scalar import extract_pub_year_full
+
+    cases = [
+        ("2021 Mar-Apr 01", 2021),
+        ("1998 Dec-1999 Jan", 1998),
+        ("2022 Spring", 2022),
+        ("2016 Spring-Summer", 2016),
+        ("1965 Nov-Dec", 1965),
+        ("2000 Dec 23-30", 2000),
+        ("", None),
+        ("invalid", None),
+        ("Summer 2009", 2009),
+        ("24th March 2018", 2018),
+        ("24th Mar '01", 2001),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r["y"] for r in df.select(extract_pub_year_full("s").alias("y")).collect()]
+    assert got == [y for _, y in cases]
+
+
+def test_parse_citations_fuzzy_medline_date(spark):
+    """S6 parser applies the same fuzzy tail for regex-miss MedlineDates."""
+    import base64
+    import zlib
+
+    from mtix_spark.sources.citations import parse_citations
+
+    xml = (
+        "<MedlineCitation><PMID>9</PMID><Article>"
+        "<Journal><Title>J</Title><JournalIssue><PubDate>"
+        "<MedlineDate>24th Mar '01</MedlineDate>"
+        "</PubDate></JournalIssue></Journal>"
+        "<ArticleTitle>T</ArticleTitle></Article></MedlineCitation>"
+    )
+    data = base64.b64encode(zlib.compress(xml.encode())).decode("ascii")
+    df = spark.createDataFrame([(9, data)], "uid long, data string")
+    row = parse_citations(df).collect()[0]
+    assert row["pub_year"] == 2001
+
+
 def test_replace_brackets_conditional(spark):
     """P5: rewrite only when the `]\\s*[` pattern appears
     (/root/reference/src/mtix/predictors.py:8-19)."""
