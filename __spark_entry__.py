@@ -138,7 +138,12 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> Da
         # map back through the docmap (path carries the original id)
         idx_dir = tempfile.mkdtemp(prefix="mtix_idx_")
         paths = build_index(spark, with_ids, idx_dir, n_segments=4)
-        res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK)
+        # fetch k plus a tie margin: the engine tie-breaks on dense ids, the
+        # oracle on original ids — a rounded-score tie exactly at rank k
+        # could otherwise select a different (equally valid) doc set. With
+        # the margin, re-ranking on original ids below is set-identical to
+        # the oracle unless >4k docs tie at the boundary.
+        res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK * 5)
         docmap = spark.read.parquet(paths.docmap).select(
             F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
         )
@@ -225,8 +230,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split-once form: tokenize projected once (see functions.text docstring)
+    from mtix_spark.functions.text import with_language_id
+
     docs = _tbl(spark, sf_dir, "documents")
-    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+    return with_language_id(docs, "text").select("doc_id", "lang_pred")
 
 
 def _language_id_oracle() -> str:
@@ -252,8 +260,12 @@ FROM documents
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtix_spark.functions.text import with_quality_score
+
     docs = _tbl(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    return with_quality_score(docs, "text").select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
 
 
 def _quality_expr() -> str:
