@@ -305,17 +305,16 @@ class IndexPaths:
 
 
 def read_manifest(paths: IndexPaths) -> dict:
-    if os.path.exists(paths.manifest):
-        with open(paths.manifest) as f:
-            return json.load(f)
-    return {"segments": {}, "stats": None}
+    from mtix_spark.table_io import DEFAULT_IO
+
+    man = DEFAULT_IO.read_manifest(paths.manifest)
+    return man if man is not None else {"segments": {}, "stats": None}
 
 
 def _commit_manifest(paths: IndexPaths, manifest: dict) -> None:
-    tmp = paths.manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, paths.manifest)  # atomic commit — last step of the build
+    from mtix_spark.table_io import DEFAULT_IO
+
+    DEFAULT_IO.commit_manifest(paths.manifest, manifest)
 
 
 def build_index(
@@ -363,22 +362,21 @@ def build_index(
         tf_dl = tf.join(dl, "doc_id")  # doc_id equi-join; dl side is narrow
 
         t0 = time.time()
+        from mtix_spark.table_io import DEFAULT_IO as tio
+
         postings = tf_dl.groupBy("seg").applyInPandas(
             lambda pdf: _build_segment_postings(pdf, avgdl), POSTINGS_SCHEMA
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        postings.write.partitionBy("seg").mode("overwrite").parquet(paths.postings)
-        (
+        tio.overwrite_partitions(postings, paths.postings, "seg")
+        tio.overwrite_partitions(
             docs.select(
                 "doc_id",
                 F.col("doc_len").alias("dl"),
                 "repo", "path", "commit", "lang", "content_sha256",
                 seg_col.alias("seg"),
-            )
-            .filter(F.col("seg").isin(todo))
-            .write.partitionBy("seg")
-            .mode("overwrite")
-            .parquet(paths.docmap)
+            ).filter(F.col("seg").isin(todo)),
+            paths.docmap,
+            "seg",
         )
         wall_ms = (time.time() - t0) * 1000.0
 
@@ -417,7 +415,9 @@ def build_index(
             }
 
     # dictionary is cheap relative to postings; (re)write whole
-    build_dictionary(tf_all).write.mode("overwrite").parquet(paths.dictionary)
+    from mtix_spark.table_io import DEFAULT_IO as tio2
+
+    tio2.overwrite(build_dictionary(tf_all), paths.dictionary)
 
     manifest["stats"] = stats
     _commit_manifest(paths, manifest)

@@ -140,16 +140,20 @@ def stream_index_ingest(
                 lambda pdf: _build_segment_postings(pdf, avgdl_build), POSTINGS_SCHEMA
             )
         )
-        # drop the constant seg column: the data lands inside seg=K/ so the
-        # reader recovers it by partition discovery (same layout as the batch
-        # build's partitionBy); overwrite => crash-replay idempotent
-        postings.drop("seg").write.mode("overwrite").parquet(
-            os.path.join(paths.postings, f"seg={seg_id}")
+        # per-segment partition overwrite via the storage seam (idempotent
+        # replay; layout identical to the batch build's partitionBy)
+        from mtix_spark.table_io import DEFAULT_IO as tio
+
+        tio.overwrite_partition(postings, paths.postings, "seg", seg_id)
+        tio.overwrite_partition(
+            docs.select(
+                "doc_id", F.col("doc_len").alias("dl"),
+                "repo", "path", "commit", "lang", "content_sha256",
+            ),
+            paths.docmap,
+            "seg",
+            seg_id,
         )
-        docs.select(
-            "doc_id", F.col("doc_len").alias("dl"),
-            "repo", "path", "commit", "lang", "content_sha256",
-        ).write.mode("overwrite").parquet(os.path.join(paths.docmap, f"seg={seg_id}"))
         docs.unpersist()
         # refresh the global dictionary from the postings relation (derived
         # data — a replayed batch just rewrites it). df/cf sum cleanly over
@@ -157,12 +161,11 @@ def stream_index_ingest(
         # incremental merge keyed by term; per-batch recompute is the
         # sandbox-size rendition of the same derivation.
         sess = batch_df.sparkSession
-        (
-            sess.read.parquet(paths.postings)
+        tio.overwrite(
+            tio.read(sess, paths.postings)
             .groupBy("term")
-            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
-            .write.mode("overwrite")
-            .parquet(paths.dictionary)
+            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
+            paths.dictionary,
         )
         man["segments"][str(seg_id)] = {
             "min_doc": hwm + 1,
