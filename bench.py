@@ -70,6 +70,17 @@ def main() -> None:
     extra["bm25_p95_ms"] = round(lat[int(0.95 * len(lat)) - 1], 1)
     timings["bm25_20q_single"] = round(sum(lat) / 1000, 3)
     searcher.close()
+
+    # --- merged-list serving path (B5 consumer): salted merge + query ------
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.search import merged_topk
+
+    t0 = time.time()
+    merge_postings(spark, paths, hot_df=10_000)
+    timings["merge_postings"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    merged_topk(spark, paths, qset[:50], k=100)
+    timings["merged_50q"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
     # --- operator suite over the driver tables -----------------------------
@@ -81,7 +92,8 @@ def main() -> None:
     suite = [
         "tf_postings", "term_dict", "bm25_topk", "token_count", "language_id",
         "quality_score", "dedup_exact", "minhash_lsh", "simhash",
-        "simhash_pairs", "knn_cosine", "knn_lsh", "topn_per_key",
+        "simhash_pairs", "knn_cosine", "knn_lsh", "embed_near_dup_lsh",
+        "topn_per_key",
         "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q3", "tpch_q6",
         "rollup_counts", "events_tumbling", "mti_pipeline",
     ]

@@ -339,9 +339,12 @@ def build_index(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(paths) if resume else {"segments": {}, "stats": None}
+    phases: dict[str, float] = {}
 
+    t_ph = time.time()
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     n_docs, avgdl = corpus_stats(docs)
+    phases["corpus_stats_s"] = round(time.time() - t_ph, 2)
     seg_size = max(1, -(-n_docs // n_segments))
     stats = {"n_docs": n_docs, "avgdl": avgdl, "n_segments": n_segments,
              "seg_size": seg_size, "k1": K1, "b": B, "block_size": BLOCK_SIZE}
@@ -351,9 +354,11 @@ def build_index(
     done = set(int(s) for s in manifest["segments"])
     todo = [s for s in range(n_segments) if s not in done]
 
-    # one tokenize pass: the tf relation feeds both the segment build and
-    # the dictionary (content is heavy; re-deriving tf would re-tokenize)
-    tf_all = build_tf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # single consumer (segment postings) → no persist; the global dictionary
+    # is later derived from the written postings (sum of per-segment df/cf),
+    # so content is tokenized exactly once and the tf relation is never
+    # materialized twice
+    tf_all = build_tf(docs)
 
     if todo:
         seg_col = (F.col("doc_id") / F.lit(seg_size)).cast("int")
@@ -368,6 +373,8 @@ def build_index(
             lambda pdf: _build_segment_postings(pdf, avgdl), POSTINGS_SCHEMA
         )
         tio.overwrite_partitions(postings, paths.postings, "seg")
+        phases["tokenize_postings_write_s"] = round(time.time() - t0, 2)
+        t_ph = time.time()
         tio.overwrite_partitions(
             docs.select(
                 "doc_id",
@@ -378,7 +385,9 @@ def build_index(
             paths.docmap,
             "seg",
         )
+        phases["docmap_write_s"] = round(time.time() - t_ph, 2)
         wall_ms = (time.time() - t0) * 1000.0
+        t_ph = time.time()
 
         # per-segment lineage + metrics (token/posting counts) for the manifest
         seg_metrics = (
@@ -413,15 +422,28 @@ def build_index(
                 "build_wall_ms": round(wall_ms, 1),
                 "lineage": {"source": "docs", "seg_size": seg_size},
             }
+        phases["seg_metrics_s"] = round(time.time() - t_ph, 2)
 
-    # dictionary is cheap relative to postings; (re)write whole
+    # global dictionary derived from the written postings (per-segment df/cf
+    # sum cleanly over doc-range-disjoint segments) — reads the compact
+    # pruned columns instead of re-materializing the tf relation
     from mtix_spark.table_io import DEFAULT_IO as tio2
 
-    tio2.overwrite(build_dictionary(tf_all), paths.dictionary)
+    t_ph = time.time()
+    if os.path.exists(paths.postings):
+        tio2.overwrite(
+            tio2.read(spark, paths.postings)
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
+            paths.dictionary,
+        )
+    else:  # empty corpus: schema-only dictionary
+        tio2.overwrite(build_dictionary(tf_all), paths.dictionary)
+    phases["dictionary_s"] = round(time.time() - t_ph, 2)
 
     manifest["stats"] = stats
+    manifest["build_phases_s"] = phases
     _commit_manifest(paths, manifest)
-    tf_all.unpersist()
     docs.unpersist()
     return paths
 

@@ -66,6 +66,27 @@ spark.stop()
 """
 
 
+def _hw_work(k: int) -> int:
+    x = 0
+    for _ in range(k):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _hw_probe(procs: int, n: int = 10_000_000) -> float:
+    """Aggregate pure-CPU throughput (M ops/s) with `procs` processes —
+    quantifies the host's parallel capacity at measurement time, so each
+    Spark efficiency number can be read against the hardware ceiling that
+    existed during that exact run (the shared host's capacity drifts)."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.time()
+    with mp.Pool(procs) as p:
+        p.map(_hw_work, [n] * procs)
+    return procs * n / (_t.time() - t0) / 1e6
+
+
 def run_one(cpus: int, corpus_dir: str, n_docs: int) -> dict:
     idx_dir = tempfile.mkdtemp(prefix=f"mtix_scal_{cpus}_")
     out = subprocess.run(
@@ -88,6 +109,9 @@ def main() -> None:
     n_lo, n_hi = 2, 8
     if "--levels" in sys.argv:
         n_lo, n_hi = (int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(","))
+    repeats = 1
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
 
     work = tempfile.mkdtemp(prefix="mtix_scal_corpus_")
     gen = subprocess.run(
@@ -108,13 +132,36 @@ def main() -> None:
         raise RuntimeError(gen.stderr[-2000:])
     corpus = f"{work}/corpus"
 
-    r_lo = run_one(n_lo, corpus, n_docs)
-    r_hi = run_one(n_hi, corpus, n_docs)
+    # variance protocol: interleave configs (lo, hi, lo, hi, …) so the shared
+    # host's time-varying parallel capacity hits both configs alike; report
+    # per-run values and compute efficiency from MEDIANS
+    import statistics
+
+    runs_lo, runs_hi = [], []
+    for rep in range(repeats):
+        hw_lo = _hw_probe(n_lo)
+        runs_lo.append({**run_one(n_lo, corpus, n_docs), "hw_mops": round(hw_lo, 1)})
+        hw_hi = _hw_probe(n_hi)
+        runs_hi.append({**run_one(n_hi, corpus, n_docs), "hw_mops": round(hw_hi, 1)})
+        print(f"rep {rep}: lo={runs_lo[-1]['files_per_sec']} f/s (hw {hw_lo:.0f}M)  "
+              f"hi={runs_hi[-1]['files_per_sec']} f/s (hw {hw_hi:.0f}M)", file=sys.stderr)
+
+    def med(runs, key):
+        return statistics.median(r[key] for r in runs)
+
+    r_lo = {k: (med(runs_lo, k) if isinstance(runs_lo[0][k], (int, float)) else runs_lo[0][k])
+            for k in runs_lo[0]}
+    r_hi = {k: (med(runs_hi, k) if isinstance(runs_hi[0][k], (int, float)) else runs_hi[0][k])
+            for k in runs_hi[0]}
 
     ratio = n_hi / n_lo
     eff_build = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / ratio
     eff_query = (r_hi["queries_per_sec"] / r_lo["queries_per_sec"]) / ratio
-    identical = r_lo["result_sha"] == r_hi["result_sha"]
+    # hardware-normalized: divide by the ceiling the host itself delivered
+    # during these runs (median pure-CPU speedup / core ratio)
+    eff_hw = (r_hi["hw_mops"] / r_lo["hw_mops"]) / ratio
+    eff_build_norm = eff_build / eff_hw if eff_hw > 0 else float("nan")
+    identical = len({r["result_sha"] for r in runs_lo + runs_hi}) == 1
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -148,9 +195,15 @@ query terms with doclens read executor-locally (never shuffled).
 """
     with open(out_md, "w") as f:
         f.write(md)
-    print(json.dumps({f"r{n_lo}": r_lo, f"r{n_hi}": r_hi,
-                      "eff_build": round(eff_build, 3),
-                      "eff_query": round(eff_query, 3), "identical": identical}))
+    print(json.dumps({
+        f"r{n_lo}": r_lo, f"r{n_hi}": r_hi,
+        f"runs{n_lo}": runs_lo, f"runs{n_hi}": runs_hi,
+        "repeats": repeats,
+        "eff_build": round(eff_build, 3),
+        "eff_query": round(eff_query, 3),
+        "eff_hw": round(eff_hw, 3),
+        "eff_build_hw_normalized": round(eff_build_norm, 3),
+        "identical": identical}))
 
 
 if __name__ == "__main__":
