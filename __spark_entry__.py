@@ -104,13 +104,16 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> DataFrame:
+def _bm25_over_documents(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     """Top-k BM25 for the fixed query set over `documents`.
 
-    physical=False → pure-Catalyst brute path (bm25_brute);
-    physical=True  → build the segment index (delta+varint postings,
-    block-max) in a temp dir and answer via the MaxScore kernel. Both paths
-    share one oracle — the point of the correctness gate.
+    mode="brute"   → pure-Catalyst brute path (bm25_brute);
+    mode="index"   → build the segment index (delta+varint postings,
+                     block-max) in a temp dir, answer via the MaxScore kernel;
+    mode="merged"  → additionally run the salted global merge and answer
+                     from the merged posting lists (merged_topk — the B5
+                     consumer). All three share ONE oracle — the point of
+                     the correctness gate.
     """
     from mtix_spark.index.search import bm25_brute
 
@@ -118,13 +121,13 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> Da
     n_docs = docs.count()
     dl = docs.select("doc_id", F.size(tokenize("text")).alias("dl"))
     avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
-    if not physical:
+    if mode == "brute":
         tf = _docs_tf(docs)
         qdf = spark.createDataFrame(FIXED_QUERIES, "query_id long, text string")
         out = bm25_brute(tf, dl, qdf, n_docs, avgdl, k=TOPK)
     else:
-        from mtix_spark.index.build import assign_doc_ids, build_index
-        from mtix_spark.index.search import bm25_topk_segments
+        from mtix_spark.index.build import assign_doc_ids, build_index, merge_postings
+        from mtix_spark.index.search import bm25_topk_segments, merged_topk
 
         corpus = docs.select(
             F.lit("documents").alias("repo"),
@@ -143,7 +146,15 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> Da
         # could otherwise select a different (equally valid) doc set. With
         # the margin, re-ranking on original ids below is set-identical to
         # the oracle unless >4k docs tie at the boundary.
-        res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK * 5)
+        if mode == "merged":
+            merge_postings(spark, paths, hot_df=50)  # force the salted hot path
+            pdf = merged_topk(spark, paths, FIXED_QUERIES, k=TOPK * 5)
+            res = spark.createDataFrame(
+                pdf[["query_id", "doc_id", "score"]],
+                "query_id long, doc_id long, score double",
+            )
+        else:
+            res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK * 5)
         docmap = spark.read.parquet(paths.docmap).select(
             F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
         )
@@ -165,11 +176,15 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, physical: bool) -> Da
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bm25_over_documents(spark, sf_dir, physical=False)
+    return _bm25_over_documents(spark, sf_dir, mode="brute")
 
 
 def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bm25_over_documents(spark, sf_dir, physical=True)
+    return _bm25_over_documents(spark, sf_dir, mode="index")
+
+
+def q_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_over_documents(spark, sf_dir, mode="merged")
 
 
 def _bm25_oracle() -> str:
@@ -293,6 +308,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64 has no portable SQL twin → rows-only check (tested in tests/)
     docs = _tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-sensitive polynomial rolling hash — md5-derived, SQL-exact
+    from mtix_spark.functions.text import rolling_fingerprint
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
+def _rolling_fp_oracle() -> str:
+    from mtix_spark.functions.text import ROLL_B, ROLL_P
+
+    toks = TOK.format(c="text")
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform({toks},
+           t -> CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT AS BIGINT))),
+         (a, b) -> (a * {ROLL_B} + b) % {ROLL_P}
+       ) AS fp
+FROM documents
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtix_spark.functions.text import bpe_token_count
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").cast("long").alias("n_bpe"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mtix_spark.streaming.ingest import sessionize_batch
+
+    ev = _tbl(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # for each event: value of the same user's latest at-or-before purchase
+    from mtix_spark.joins import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    # one right row per (user, ts): equal-instant ties would otherwise be
+    # resolved differently by the two engines
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        value_cols=["pvalue"],
+    )
+    return out.select(
+        "event_id", "user_id", "asof_ts", F.round("asof_pvalue", 6).alias("asof_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -735,7 +810,7 @@ def q_mti_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the replaced stage) → fuse with a doc-quality prior (J6) → threshold
     (P3) → per-query top-5 (A1) → dim join (J2: doc source) → ranked rows.
     """
-    bm25 = _bm25_over_documents(spark, sf_dir, physical=False)
+    bm25 = _bm25_over_documents(spark, sf_dir, mode="brute")
     docs = _tbl(spark, sf_dir, "documents")
     prior = docs.select(
         "doc_id", (quality_score("text") * 10.0).alias("prior")
@@ -807,11 +882,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
+        "bm25_merged_topk": q_bm25_merged_topk,
         "doc_sha256": q_doc_sha256,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -866,8 +946,40 @@ FROM documents
 """,
         "bm25_topk": _bm25_oracle(),
         "bm25_index_topk": _bm25_oracle(),
+        "bm25_merged_topk": _bm25_oracle(),
         "doc_sha256": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
         "token_count": f"SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents",
+        "rolling_fingerprint": _rolling_fp_oracle(),
+        "bpe_token_count": """
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))::BIGINT AS n_bpe
+FROM documents
+""",
+        "sessionize": """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS nb
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM b
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2
+""",
+        "asof_join": """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, p.ts AS asof_ts, round(p.pvalue, 6) AS asof_value
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
         "language_id": _language_id_oracle(),
         "quality_score": _quality_oracle(),
         "dedup_exact": """

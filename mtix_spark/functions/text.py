@@ -141,6 +141,39 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.xxhash64(F.array_join(tokenize(col), " "))
 
 
+ROLL_B = 131
+ROLL_P = 2_147_483_647  # 2^31-1: acc·B + h stays < 2^63 in every engine
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling-hash document fingerprint over the token stream:
+    fp = fold(tokens, 0, (acc, t) -> (acc·B + h32(t)) mod P) with
+    h32 = first 8 md5 hex digits — order-sensitive (unlike a token-set
+    hash), whitespace/punct-invariant, and reproducible in ANSI SQL, so the
+    driver value-hash-checks it exactly. Pure Column expression:
+    one `aggregate` fold per row, no UDF."""
+    toks = tokenize(col)
+    h32 = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLL_B) + h32(t)) % F.lit(ROLL_P),
+    )
+
+
+# GPT-2-ish pre-tokenizer shape, simplified to the regex subset Java and
+# RE2 implement identically: word / number / punctuation runs, each
+# optionally preceded by one space
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: number of pre-tokenizer matches
+    (training-data pipeline op — budget estimation for LLM corpora)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
 def content_sha256(col: Column | str) -> Column:
     """Per-row invariant vs. the source table (BASELINE.json:input_hint)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -27,7 +27,7 @@ import time
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -257,4 +257,38 @@ def sessionize(events: DataFrame) -> DataFrame:
         _STATE_SCHEMA,
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin of `sessionize`, pure Catalyst (SQL-expressible, so the
+    driver oracle value-checks the session logic the streaming operator
+    implements statefully): session boundary where the per-user gap to the
+    previous event exceeds `gap_minutes`; session id = running count of
+    boundaries. Two window passes over one (user_id, ts) sort — a single
+    shuffle keyed by user.
+
+    Returns (user_id, session_id, session_start, session_end, n_events).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_s = gap_minutes * 60
+    prev = F.lag("ts").over(w)
+    # cast NTZ→timestamp→long: only the difference matters, so the session
+    # timezone shift cancels
+    secs = lambda c: c.cast("timestamp").cast("long")
+    boundary = F.when(
+        prev.isNull() | ((secs(F.col("ts")) - secs(prev)) > gap_s), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two projections: lag must materialize before the cumulative sum
+    # (nested window functions are not allowed in one expression)
+    sids = (
+        events.withColumn("__b", boundary)
+        .withColumn("session_id", F.sum("__b").over(wcum))
+        .drop("__b")
+    )
+    return sids.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -180,6 +180,47 @@ def test_metadata_stats_prunes_payload(spark, tmp_path):
     assert "payload" not in read_schema
 
 
+# --- joins -----------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    """Nearest-prior semantics: inclusive at equal ts, null before the
+    first right row, latest-prior otherwise; plan has no range join."""
+    from mtix_spark.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"),
+         (3, 1, "2024-01-01 09:00:00"), (4, 2, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-01 11:00:00", 7.0)],
+        "user_id long, ts string, pvalue double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: (r["asof_ts"], r["asof_pvalue"])
+           for r in asof_join(left, right, on=["user_id"], value_cols=["pvalue"]).collect()}
+    assert out[3] == (None, None)                      # before first right row
+    assert out[1][1] == 5.0                            # inclusive tie at 10:00
+    assert out[2][1] == 7.0                            # latest prior (11:00)
+    assert out[4] == (None, None)                      # user with no right rows
+    plan = asof_join(left, right, on=["user_id"], value_cols=["pvalue"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_batch_gap_boundaries(spark):
+    from mtix_spark.streaming.ingest import sessionize_batch
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00"),
+         (3, 1, "2024-01-01 11:30:00"), (4, 2, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {(r["user_id"], r["session_id"]): r["n_events"]
+            for r in sessionize_batch(ev, gap_minutes=30).collect()}
+    assert rows == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
 # --- streaming -------------------------------------------------------------
 
 
