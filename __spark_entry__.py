@@ -767,6 +767,39 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clicks within 1h after each purchase of the same user (interval join)
+    from mtix_spark.joins import range_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    joined = range_join(
+        p, c, on=["user_id"], left_ts="ts", right_ts="cts", lower_s=0, upper_s=3600
+    )
+    return joined.select("purchase_id", "click_id")
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact linear-interpolation percentiles per event_type
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return docs.rollup("lang", "source").agg(
@@ -910,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
         "distinct_users": q_distinct_users,
         "running_sum": q_running_sum,
         "anti_join": q_anti_join,
@@ -1086,6 +1122,25 @@ GROUP BY 1
         "rollup_counts": """
 SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "cube_counts": """
+SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY CUBE (lang, source)
+""",
+        "range_join": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND epoch(c.ts) >= epoch(p.ts)
+ AND epoch(c.ts) <= epoch(p.ts) + 3600
+""",
+        "percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
 """,
         "distinct_users": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,

@@ -73,14 +73,24 @@ def main() -> None:
 
     # --- merged-list serving path (B5 consumer): salted merge + query ------
     from mtix_spark.index.build import merge_postings
-    from mtix_spark.index.search import merged_topk
+    from mtix_spark.index.search import MergedSearcher
 
     t0 = time.time()
     merge_postings(spark, paths, hot_df=10_000)
     timings["merge_postings"] = round(time.time() - t0, 3)
+    ms = MergedSearcher(spark, paths)
     t0 = time.time()
-    merged_topk(spark, paths, qset[:50], k=100)
+    ms.search(qset[:50], k=100)
     timings["merged_50q"] = round(time.time() - t0, 3)
+    # warm serving latency: term lists + dl cached on the handle (the
+    # serving-node architecture) — repeat queries run without a Spark job
+    mlat = []
+    for qid, text in qset[:20]:
+        t1 = time.time()
+        ms.search([(qid, text)], k=100)
+        mlat.append((time.time() - t1) * 1000)
+    mlat.sort()
+    extra["merged_warm_p95_ms"] = round(mlat[int(0.95 * len(mlat)) - 1], 2)
     shutil.rmtree(work, ignore_errors=True)
 
     # --- operator suite over the driver tables -----------------------------

@@ -395,103 +395,136 @@ def bm25_topk_segments(
     return SegmentSearcher(spark, paths, persist=False).search(queries, k)
 
 
+class MergedSearcher:
+    """Serving handle over the MERGED global posting lists (merge_postings
+    output) — the low-latency path that consumes B5's term-partitioned
+    lists.
+
+    Cold terms cost one Spark job (term IN-filter pushed to the parquet
+    scan — one object-store fetch per term, the classic term-sharded
+    serving layout); fetched lists and the doc-length table are cached on
+    the handle, so repeat/warm queries are pure driver-side numpy with NO
+    Spark job at all — single-digit-ms latency, which is the honest serving
+    architecture (a query node holding its hot term shard). Misses are
+    negative-cached.
+
+    Scoring is term-at-a-time with candidate-sparse accumulation: posting
+    doc ids are concatenated, uniqued, and contributions summed with
+    np.add.at — memory ∝ candidate postings, never corpus size. Results are
+    rank-identical to the segment path and the brute oracle (tested);
+    tie-break (score DESC, doc_id ASC); scores rounded to SCORE_DECIMALS.
+
+    At 10¹² docs the per-term lists are block-sharded and dl lives in a
+    co-located lookup; in-sandbox the whole dl column loads once per handle.
+    """
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths):
+        import os
+
+        self.spark = spark
+        self.paths = paths
+        with open(paths.stats) as f:
+            stats = json.load(f)
+        self.n_docs, self.avgdl = stats["n_docs"], stats["avgdl"]
+        self.merged_dir = os.path.join(paths.root, "merged")
+        self._terms: dict[str, tuple | None] = {}
+        self._dl: np.ndarray | None = None
+
+    def _ensure_dl(self) -> np.ndarray:
+        if self._dl is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            dl = np.zeros(self.n_docs, dtype=np.float64)
+            for f in glob.glob(os.path.join(self.paths.doclens, "seg=*", "*.parquet")):
+                t = pq.read_table(f, columns=["doc_id", "dl"])
+                ids = t["doc_id"].to_numpy()
+                m = (ids >= 0) & (ids < self.n_docs)
+                dl[ids[m]] = t["dl"].to_numpy()[m]
+            self._dl = dl
+        return self._dl
+
+    def _fetch(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._terms]
+        if not missing:
+            return
+        for t in missing:
+            self._terms[t] = None  # negative cache unless the scan finds it
+        rows = (
+            self.spark.read.parquet(self.merged_dir)
+            .filter(F.col("term").isin(missing))
+            .select("term", "df", "doc_ids_bin", "tfs_bin")
+            .collect()
+        )
+        for r in rows:
+            self._terms[r["term"]] = (
+                delta_decode(r["doc_ids_bin"]).astype(np.int64),
+                decode_varint(r["tfs_bin"]).astype(np.float64),
+                int(r["df"]),
+            )
+
+    def search(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+        import re
+
+        from mtix_spark.functions.text import TOKEN_SPLIT_RE
+
+        tokenized = [
+            (qid, sorted({t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t}))
+            for qid, text in queries
+        ]
+        all_terms = sorted({t for _, ts in tokenized for t in ts})
+        out_empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64",
+                  "score": "float64"})
+        if not all_terms:
+            return out_empty
+        self._fetch(all_terms)
+        if not any(self._terms.get(t) for t in all_terms):
+            return out_empty
+        dl = self._ensure_dl()
+        n_docs, avgdl = self.n_docs, self.avgdl
+
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for qid, terms in tokenized:
+            terms = [t for t in terms if self._terms.get(t) is not None]
+            if not terms:
+                continue
+            cat_ids, cat_contrib = [], []
+            for t in terms:  # fixed ascending term order → deterministic sum
+                ids, tfs, df = self._terms[t]
+                idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                w = idf * tfs * (K1 + 1.0) / (
+                    tfs + K1 * (1.0 - B + B * dl[ids] / avgdl)
+                )
+                cat_ids.append(ids)
+                cat_contrib.append(w)
+            ids = np.concatenate(cat_ids)
+            contrib = np.concatenate(cat_contrib)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, inv, contrib)
+            kk = min(k, uniq.size)
+            top = np.argpartition(-acc, kk - 1)[:kk]
+            order = np.lexsort((uniq[top], -acc[top]))
+            top = top[order]
+            out["query_id"].extend([qid] * kk)
+            out["rank"].extend(range(1, kk + 1))
+            out["doc_id"].extend(uniq[top].tolist())
+            out["score"].extend(np.round(acc[top], SCORE_DECIMALS).tolist())
+        return pd.DataFrame(out).astype(
+            {"query_id": "int64", "rank": "int64", "doc_id": "int64",
+             "score": "float64"}
+        )
+
+
 def merged_topk(
     spark: SparkSession,
     paths: IndexPaths,
     queries: list[tuple[int, str]],
     k: int = 100,
 ) -> pd.DataFrame:
-    """Top-k over the MERGED global posting lists (merge_postings output) —
-    the serving path that consumes B5's term-partitioned lists.
-
-    Per query batch this reads only the ≤n_terms merged rows (term IN-filter
-    pushed to the parquet scan — one object-store fetch per term, the
-    classic term-sharded serving layout) plus the doc-length table, and
-    scores term-at-a-time with candidate-sparse accumulation: doc ids of the
-    query terms' postings are concatenated, uniqued, and contributions
-    summed with np.add.at, so memory ∝ candidate postings, never corpus
-    size. Results are rank-identical to the segment path and the brute
-    oracle (tested), tie-break (score DESC, doc_id ASC), scores rounded to
-    SCORE_DECIMALS. Returns a pandas frame (query_id, rank, doc_id, score).
-
-    At 10¹² docs the per-term lists are block-sharded and dl lives in a
-    co-located lookup; in-sandbox the whole dl column loads once per call.
-    """
-    import glob
-    import os
-    import re
-
-    import pyarrow.parquet as pq
-
-    from mtix_spark.functions.text import TOKEN_SPLIT_RE
-
-    with open(paths.stats) as f:
-        stats = json.load(f)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-
-    tokenized = [
-        (qid, sorted({t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t}))
-        for qid, text in queries
-    ]
-    all_terms = sorted({t for _, ts in tokenized for t in ts})
-    out_empty = pd.DataFrame(
-        {"query_id": [], "rank": [], "doc_id": [], "score": []}
-    ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"})
-    if not all_terms:
-        return out_empty
-
-    merged_dir = os.path.join(paths.root, "merged")
-    rows = (
-        spark.read.parquet(merged_dir)
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "df", "doc_ids_bin", "tfs_bin")
-        .collect()
-    )
-    by_term = {
-        r["term"]: (
-            delta_decode(r["doc_ids_bin"]).astype(np.int64),
-            decode_varint(r["tfs_bin"]).astype(np.float64),
-            int(r["df"]),
-        )
-        for r in rows
-    }
-    if not by_term:
-        return out_empty
-
-    dl = np.zeros(n_docs, dtype=np.float64)
-    for f in glob.glob(os.path.join(paths.doclens, "seg=*", "*.parquet")):
-        t = pq.read_table(f, columns=["doc_id", "dl"])
-        ids = t["doc_id"].to_numpy()
-        m = (ids >= 0) & (ids < n_docs)
-        dl[ids[m]] = t["dl"].to_numpy()[m]
-
-    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
-    for qid, terms in tokenized:
-        terms = [t for t in terms if t in by_term]
-        if not terms:
-            continue
-        cat_ids, cat_contrib = [], []
-        for t in terms:  # fixed ascending term order → deterministic float sum
-            ids, tfs, df = by_term[t]
-            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            w = idf * tfs * (K1 + 1.0) / (
-                tfs + K1 * (1.0 - B + B * dl[ids] / avgdl)
-            )
-            cat_ids.append(ids)
-            cat_contrib.append(w)
-        ids = np.concatenate(cat_ids)
-        contrib = np.concatenate(cat_contrib)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, contrib)
-        kk = min(k, uniq.size)
-        top = np.argpartition(-acc, kk - 1)[:kk]
-        order = np.lexsort((uniq[top], -acc[top]))
-        top = top[order]
-        out["query_id"].extend([qid] * kk)
-        out["rank"].extend(range(1, kk + 1))
-        out["doc_id"].extend(uniq[top].tolist())
-        out["score"].extend(np.round(acc[top], SCORE_DECIMALS).tolist())
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
-    )
+    """One-shot top-k over the merged posting lists (cold MergedSearcher)."""
+    return MergedSearcher(spark, paths).search(queries, k)

@@ -19,6 +19,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = 0,
+    upper_s: int = 3600,
+) -> DataFrame:
+    """Interval join: pairs where right_ts ∈ [left_ts + lower_s,
+    left_ts + upper_s] per equi-key. With non-empty `on`, Catalyst plans a
+    hash/sort-merge join on the keys with the range as a join filter —
+    candidate pairs are bounded by the per-key cross size, never a
+    cartesian. (A keyless range join would need a broadcast-nested-loop;
+    this operator requires keys by design.)"""
+    assert on, "range_join requires equi-keys; keyless ranges do not scale"
+    lt = left[left_ts].cast("timestamp").cast("long")
+    rt = right[right_ts].cast("timestamp").cast("long")
+    cond = [left[k] == right[k] for k in on]
+    cond.append(rt >= lt + lower_s)
+    cond.append(rt <= lt + upper_s)
+    c = cond[0]
+    for x in cond[1:]:
+        c = c & x
+    return left.join(right, c)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

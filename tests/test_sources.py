@@ -68,6 +68,22 @@ def test_parse_citations_fields(spark):
     assert r2["abstract"] is None and r2["year_completed"] is None
 
 
+def test_gzip_json_source(spark, tmp_path):
+    """S3: Spark's codec handling reads gzip-compressed JSON transparently
+    (the reference's gzip test-set scan, utils via json.load(gzip.open))."""
+    import gzip
+    import json as J
+
+    from mtix_spark.sources.citations import read_uid_payload_json
+
+    rows = [{"uid": 1, "data": "abc"}, {"uid": 2, "data": "def"}]
+    p = str(tmp_path / "payload.json.gz")
+    with gzip.open(p, "wt") as f:
+        J.dump(rows, f)
+    got = {r["uid"]: r["data"] for r in read_uid_payload_json(spark, p).collect()}
+    assert got == {1: "abc", 2: "def"}
+
+
 def test_tsv_dim_and_mti_sink(spark, tmp_path):
     from mtix_spark.pipeline import format_predictions
     from mtix_spark.sources.citations import read_tsv_dim, write_mti_json
