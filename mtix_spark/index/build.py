@@ -458,13 +458,15 @@ MERGED_SCHEMA = (
 )
 
 
-def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Ordered concat of doc-range-disjoint posting fragments of one term.
+def _concat_group(
+    doc_bins: list, tf_bins: list, bms: list, cfs: "np.ndarray", max_tfs: "np.ndarray"
+) -> tuple:
+    """Ordered concat of doc-range-disjoint posting fragments of one term
+    (caller passes fragments already sorted by min_doc).
 
-    Fragments (sorted by min_doc) never interleave, so the merge is a pure
-    concatenation — decode each delta stream, stitch (first delta of each
-    subsequent fragment rebased onto the previous fragment's last doc), and
-    re-encode. Vectorized numpy; no per-posting Python.
+    Fragments never interleave, so the merge is a pure concatenation —
+    decode each delta stream, stitch, and re-encode. Vectorized numpy; no
+    per-posting Python.
 
     Block-max metadata is REBUILT on the merged BLOCK_SIZE grid (fragment
     lengths are rarely multiples of BLOCK_SIZE, so merged block k does not
@@ -472,13 +474,15 @@ def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
     source fragment-block's max as a per-posting upper bound, and the merged
     block max is the reduceat of those bounds over the merged grid. Exact
     when fragments align; otherwise a sound over-estimate (bound ≥ true
-    block max), which is what MaxScore pruning requires."""
+    block max), which is what MaxScore pruning requires.
+
+    Returns (df, cf, doc_ids_bin, tfs_bin, max_tf, block_max_wtf, min_doc,
+    max_doc)."""
     from mtix_spark.index.codec import decode_varint, delta_decode
 
-    pdf = pdf.sort_values("min_doc")
-    frag_ids = [delta_decode(b) for b in pdf["doc_ids_bin"]]
+    frag_ids = [delta_decode(b) for b in doc_bins]
     ids = np.concatenate(frag_ids)
-    tfs = np.concatenate([decode_varint(b) for b in pdf["tfs_bin"]])
+    tfs = np.concatenate([decode_varint(b) for b in tf_bins])
     # per-posting upper bound from each source fragment's block maxima
     per_posting_ub = np.concatenate(
         [
@@ -489,25 +493,115 @@ def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
                     n - BLOCK_SIZE * np.arange(len(b), dtype=np.int64),
                 ),
             )
-            for b, n in zip(pdf["block_max_wtf"], (f.size for f in frag_ids))
+            for b, n in zip(bms, (f.size for f in frag_ids))
         ]
     )
     merged_starts = np.arange(0, ids.size, BLOCK_SIZE, dtype=np.int64)
     bm = np.maximum.reduceat(per_posting_ub, merged_starts).astype(np.float32)
+    return (
+        int(ids.size),
+        int(cfs.sum()),
+        delta_encode(ids),
+        encode_varint(tfs),
+        int(max_tfs.max()),
+        bm,
+        int(ids[0]),
+        int(ids[-1]),
+    )
+
+
+def _concat_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One-term pandas wrapper over `_concat_group` (unit-tested directly;
+    the distributed merge uses the streaming kernel below instead)."""
+    pdf = pdf.sort_values("min_doc")
     cf_col = "cf" if "cf" in pdf.columns else "cf_seg"
+    df, cf, ids_bin, tfs_bin, max_tf, bm, lo, hi = _concat_group(
+        list(pdf["doc_ids_bin"]),
+        list(pdf["tfs_bin"]),
+        list(pdf["block_max_wtf"]),
+        pdf[cf_col].to_numpy(),
+        pdf["max_tf"].to_numpy(),
+    )
     return pd.DataFrame(
         {
             "term": [pdf["term"].iloc[0]],
-            "df": [int(ids.size)],
-            "cf": [int(pdf[cf_col].sum())],
-            "doc_ids_bin": [delta_encode(ids)],
-            "tfs_bin": [encode_varint(tfs)],
-            "max_tf": [int(pdf["max_tf"].max())],
+            "df": [df],
+            "cf": [cf],
+            "doc_ids_bin": [ids_bin],
+            "tfs_bin": [tfs_bin],
+            "max_tf": [max_tf],
             "block_max_wtf": [bm],
-            "min_doc": [int(ids[0])],
-            "max_doc": [int(ids[-1])],
+            "min_doc": [lo],
+            "max_doc": [hi],
         }
     )
+
+
+def _merge_stream(with_salt: bool):
+    """mapInPandas kernel factory: merge posting fragments grouped by term
+    (or (term, salt)) over a stream of Arrow batches.
+
+    The input partition is hash-partitioned by the group key and sorted by
+    (key..., min_doc), so each group's fragments arrive contiguously and
+    pre-ordered; the kernel detects group boundaries with one vectorized
+    compare per batch and carries the (possibly incomplete) last group into
+    the next batch. This replaces a groupBy().applyInPandas() whose
+    per-tiny-group Arrow→pandas conversion dominated wall time 4:1 over the
+    actual merge work at vocab-sized group counts."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = (
+            "term df cf doc_ids_bin tfs_bin max_tf block_max_wtf min_doc max_doc"
+        ).split()
+        pending: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame, hold_last: bool):
+            nonlocal pending
+            terms = pdf["term"].to_numpy()
+            brk = terms[1:] != terms[:-1]
+            if with_salt:
+                salts = pdf["salt"].to_numpy()
+                brk = brk | (salts[1:] != salts[:-1])
+            starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
+            ends = np.concatenate([starts[1:], [len(terms)]])
+            if hold_last:
+                pending = pdf.iloc[starts[-1] :]
+                starts, ends = starts[:-1], ends[:-1]
+            else:
+                pending = None
+            if not len(starts):
+                return None
+            cf_col = "cf" if "cf" in pdf.columns else "cf_seg"
+            doc_bins = pdf["doc_ids_bin"].to_numpy()
+            tf_bins = pdf["tfs_bin"].to_numpy()
+            bms = pdf["block_max_wtf"].to_numpy()
+            cfs = pdf[cf_col].to_numpy()
+            max_tfs = pdf["max_tf"].to_numpy()
+            out = {c: [] for c in out_cols}
+            for a, b in zip(starts, ends):
+                vals = _concat_group(
+                    list(doc_bins[a:b]), list(tf_bins[a:b]), list(bms[a:b]),
+                    cfs[a:b], max_tfs[a:b],
+                )
+                out["term"].append(terms[a])
+                for c, v in zip(out_cols[1:], vals):
+                    out[c].append(v)
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            got = flush(pdf, hold_last=True)
+            if got is not None and len(got):
+                yield got
+        if pending is not None and len(pending):
+            got = flush(pending, hold_last=False)
+            if got is not None and len(got):
+                yield got
+
+    return kernel
 
 
 def merge_postings(
@@ -528,9 +622,14 @@ def merge_postings(
     second tiny round. Both rounds are the same ordered-concat kernel —
     correctness is partition-count-invariant.
 
-    Writes merged/*.parquet; returns its path. Note the block-max metadata
-    is concatenated, not recomputed: fragment block boundaries are preserved,
-    upper bounds stay valid (they are per-128-posting maxima of wtf).
+    All three rounds run the same streaming mapInPandas kernel
+    (`_merge_stream`) over key-partitioned, key-sorted fragments — group
+    boundaries detected in-batch, so per-group cost is the numpy concat
+    itself, not an Arrow round-trip (the groupBy().applyInPandas() form
+    paid ~4 ms of conversion per tiny term group: 4:1 overhead at
+    vocab-sized group counts). Block-max metadata is rebuilt on the merged
+    BLOCK_SIZE grid (see `_concat_group`). Writes merged/*.parquet;
+    returns its path.
     """
     postings = spark.read.parquet(paths.postings)
     with open(paths.stats) as f:
@@ -540,18 +639,24 @@ def merge_postings(
     hot_terms = dfs.filter(F.col("df") >= hot_df).select("term")
 
     cold = postings.join(F.broadcast(hot_terms), "term", "left_anti")
-    merged_cold = cold.groupBy("term").applyInPandas(
-        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    merged_cold = (
+        cold.repartition("term")
+        .sortWithinPartitions("term", "min_doc")
+        .mapInPandas(_merge_stream(with_salt=False), MERGED_SCHEMA)
     )
 
     hot = postings.join(F.broadcast(hot_terms), "term", "left_semi").withColumn(
         "salt", (F.col("seg") * n_salt / F.lit(n_segments)).cast("int")
     )
-    sub = hot.groupBy("term", "salt").applyInPandas(
-        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    sub = (
+        hot.repartition("term", "salt")
+        .sortWithinPartitions("term", "salt", "min_doc")
+        .mapInPandas(_merge_stream(with_salt=True), MERGED_SCHEMA)
     )
-    merged_hot = sub.groupBy("term").applyInPandas(
-        lambda pdf: _concat_postings(pdf), MERGED_SCHEMA
+    merged_hot = (
+        sub.repartition("term")
+        .sortWithinPartitions("term", "min_doc")
+        .mapInPandas(_merge_stream(with_salt=False), MERGED_SCHEMA)
     )
 
     out = os.path.join(paths.root, "merged")
