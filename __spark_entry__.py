@@ -227,6 +227,86 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+FIXED_PHRASES = [
+    (1, "table hash"),
+    (2, "part filter"),
+    (3, "part filter scan"),
+    (4, "zzz_oov qqq_oov"),
+]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase match counts (relational path): posexplode token stream,
+    chain adjacency self-joins — the Catalyst twin of the positional-index
+    kernel. Full match set (no top-k), so results are docID-mapping-free."""
+    from mtix_spark.index.positions import phrase_match_relational
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, ph in FIXED_PHRASES:
+        m = phrase_match_relational(docs, ph, id_col="doc_id", text_col="text")
+        outs.append(m.select(F.lit(qid).cast("long").alias("query_id"), "doc_id", "n_occ"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase match via the PHYSICAL positional index (positions/seg=K
+    delta+varint postings; vectorized adjacency-chain kernel), remapped from
+    dense ids to original doc_ids. Shares q_phrase_match's oracle — the
+    index path and the SQL oracle must agree row-for-row on (doc, count)."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.positions import build_positions, phrase_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_pidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    build_positions(spark, with_ids, paths)
+    res = phrase_topk(spark, paths, FIXED_PHRASES, k=1_000_000)  # full set
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "n_occ")
+    )
+
+
+def _phrase_oracle() -> str:
+    toks = TOK.format(c="text")
+    parts = []
+    for qid, ph in FIXED_PHRASES:
+        words = [w for w in re.split("[^a-z0-9_]+", ph.lower()) if w]
+        joins = "\n".join(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+            f"AND t{j}.term = '{w}'"
+            for j, w in enumerate(words[1:], start=1)
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS n_occ\n"
+            f"FROM toks t0 {joins}\nWHERE t0.term = '{words[0]}' GROUP BY 1, 2"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+)
+{body}
+"""
+
+
 def q_doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
@@ -942,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "phrase_match": q_phrase_match,
+        "phrase_index": q_phrase_index,
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
         "range_join": q_range_join,
@@ -1119,6 +1201,8 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey
 GROUP BY 1
 """,
+        "phrase_match": _phrase_oracle(),
+        "phrase_index": _phrase_oracle(),
         "rollup_counts": """
 SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY ROLLUP (lang, source)

@@ -444,7 +444,10 @@ def build_index(
     manifest["stats"] = stats
     manifest["build_phases_s"] = phases
     _commit_manifest(paths, manifest)
-    docs.unpersist()
+    # blocking: async block removal can race a caller's next job over the
+    # same frame (planned against the cache, then blocks vanish mid-stage →
+    # "Block rdd_N does not exist") — seen with build_positions right after
+    docs.unpersist(blocking=True)
     return paths
 
 

@@ -1,0 +1,395 @@
+"""Positional index + phrase search — the fulltext-engine extension the
+posting pipeline was shaped for (SURVEY.md §2.B B11's conjunctive
+intersection, extended with within-doc term positions).
+
+Layout mirrors the tf postings exactly (doc-range-disjoint `seg=K/`
+partitions, delta+varint binary cells, manifest-driven geometry), adding a
+positions relation per segment:
+
+    positions/seg=K/*.parquet
+        (term, seg, df_seg, doc_ids_bin, pos_counts_bin, positions_bin,
+         min_doc, max_doc)
+
+  - doc_ids_bin:    delta+varint doc ids (ascending, as tf postings)
+  - pos_counts_bin: varint count of positions per doc (aligned with ids)
+  - positions_bin:  varint within-doc position deltas (first absolute),
+                    docs concatenated in id order
+
+Scale notes: the (term, doc_id, positions) relation is the full token
+stream — inherently ~1 int per corpus token — so it is built only when
+`build_positions` is called (the BM25-only index pays nothing). The build
+shuffles position arrays keyed by seg exactly once; the segment kernel is
+the same whole-array numpy discipline as `_build_segment_postings` (no
+per-term Python). Query-side, a phrase touches only its terms' rows
+(parquet term IN-filter) and the adjacency chain is vectorized across ALL
+candidate docs at once (positions packed into doc-offset global ints — one
+np.intersect1d per phrase term, never a per-doc loop).
+
+The reference has no phrase/positional queries (its retrieval is an opaque
+CNN service, /root/reference/src/mtix/predictors.py:22-35); this extends
+the replacement engine the way Lucene extends a tf index.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mtix_spark.functions.text import TOKEN_SPLIT_RE, tokenize
+from mtix_spark.index.build import IndexPaths, read_manifest
+from mtix_spark.index.codec import (
+    decode_varint,
+    delta_decode,
+    delta_encode,
+    encode_varint,
+    encode_varint_with_sizes,
+)
+
+POSITIONS_SCHEMA = (
+    "term string, seg int, df_seg int, doc_ids_bin binary, "
+    "pos_counts_bin binary, positions_bin binary, min_doc long, max_doc long"
+)
+
+# packing for the vectorized adjacency chain: global = doc_index << SHIFT | pos
+_POS_SHIFT = 22  # positions < 4.2M per doc
+
+
+def build_tf_positions(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, positions array<int>) — token positions per (doc, term).
+
+    One Arrow batch kernel (same C++ regex split as build_tf): each input
+    row is a whole document, so every (doc, term) position list completes
+    within its batch — the downstream shuffle moves pre-grouped arrays,
+    never per-token rows.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            arr = pa.Array.from_pandas(pdf["content"])
+            sp = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_SPLIT_RE)
+            lens = pc.list_value_length(sp).fill_null(0).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(sp)
+            if len(flat) == 0:
+                continue
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_numpy(zero_copy_only=False)
+            parent = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            codes, parent = codes[keep], parent[keep]
+            n = codes.size
+            if n == 0:
+                continue
+            # position within the doc's FILTERED token stream
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = parent[1:] != parent[:-1]
+            run_start = np.flatnonzero(change)
+            run_id = np.cumsum(change) - 1
+            pos = np.arange(n, dtype=np.int64) - run_start[run_id]
+            # group to (doc, term) position lists: stable sort keeps pos asc
+            order = np.lexsort((pos, codes, parent))
+            p_s, c_s, pos_s = parent[order], codes[order], pos[order]
+            gchange = np.empty(n, dtype=bool)
+            gchange[0] = True
+            gchange[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+            gstarts = np.flatnonzero(gchange)
+            pos32 = pos_s.astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "term": vocab[c_s[gstarts]],
+                    "doc_id": ids[p_s[gstarts]],
+                    "positions": np.split(pos32, gstarts[1:]),
+                }
+            )
+
+    return docs.select("doc_id", "content").mapInPandas(
+        kernel, "term string, doc_id long, positions array<int>"
+    )
+
+
+def _build_segment_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One segment's (term, doc_id, positions) rows -> positional posting
+    rows. Whole-array numpy: factorize terms, lexsort (term, doc_id), bulk
+    varint encodes sliced by byte offsets — the positional twin of
+    `_build_segment_postings`."""
+    seg = int(pdf["seg"].iloc[0])
+    codes_u, uniques = pd.factorize(pdf["term"], sort=True)
+    order = np.lexsort((pdf["doc_id"].to_numpy(), codes_u))
+    codes = codes_u[order]
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+    plists = pdf["positions"].to_numpy()[order]
+
+    change = np.empty(codes.size, dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], codes.size)
+    lengths = ends - starts
+
+    # doc-id deltas within term
+    deltas = doc_ids.copy()
+    deltas[1:] -= doc_ids[:-1]
+    deltas[starts] = doc_ids[starts]
+    id_buf, id_nb = encode_varint_with_sizes(deltas)
+    id_off = np.zeros(codes.size + 1, dtype=np.int64)
+    np.cumsum(id_nb, out=id_off[1:])
+
+    counts = np.fromiter((len(p) for p in plists), dtype=np.uint64, count=len(plists))
+    ct_buf, ct_nb = encode_varint_with_sizes(counts)
+    ct_off = np.zeros(codes.size + 1, dtype=np.int64)
+    np.cumsum(ct_nb, out=ct_off[1:])
+
+    # within-doc position deltas over the fully concatenated stream
+    flat = np.concatenate(list(plists)).astype(np.uint64) if len(plists) else np.empty(0, np.uint64)
+    doc_pos_starts = np.zeros(codes.size + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64), out=doc_pos_starts[1:])
+    pdeltas = flat.copy()
+    if flat.size:
+        pdeltas[1:] -= flat[:-1]
+        nz = doc_pos_starts[:-1][counts > 0]
+        pdeltas[nz] = flat[nz]
+    pos_buf, pos_nb = encode_varint_with_sizes(pdeltas)
+    # per-posting-cell byte ranges -> per-TERM byte ranges
+    pos_byte_off = np.zeros(flat.size + 1, dtype=np.int64)
+    np.cumsum(pos_nb, out=pos_byte_off[1:])
+    term_pos_cut = pos_byte_off[doc_pos_starts[np.append(starts, codes.size)]]
+
+    id_mv, ct_mv, pos_mv = memoryview(id_buf), memoryview(ct_buf), memoryview(pos_buf)
+    return pd.DataFrame(
+        {
+            "term": np.asarray(uniques, dtype=object)[codes[starts]],
+            "seg": np.full(starts.size, seg, dtype=np.int32),
+            "df_seg": lengths.astype(np.int32),
+            "doc_ids_bin": [
+                bytes(id_mv[id_off[s] : id_off[e]]) for s, e in zip(starts, ends)
+            ],
+            "pos_counts_bin": [
+                bytes(ct_mv[ct_off[s] : ct_off[e]]) for s, e in zip(starts, ends)
+            ],
+            "positions_bin": [
+                bytes(pos_mv[a:b]) for a, b in zip(term_pos_cut[:-1], term_pos_cut[1:])
+            ],
+            "min_doc": doc_ids[starts].astype(np.int64),
+            "max_doc": doc_ids[ends - 1].astype(np.int64),
+        }
+    )
+
+
+def build_positions(
+    spark: SparkSession, docs: DataFrame, paths: IndexPaths
+) -> str:
+    """Add the positions relation to an already-built index (geometry —
+    seg_size, segment set — comes from the index manifest, so positional
+    segments align 1:1 with tf segments). Resumable the same way: completed
+    `seg=K` partitions are skipped on re-run via the manifest's
+    `positions_segments` set. Returns the positions path."""
+    import json
+
+    from mtix_spark.index.build import _commit_manifest
+    from mtix_spark.table_io import DEFAULT_IO as tio
+
+    with open(paths.stats) as f:
+        seg_size = json.load(f)["seg_size"]
+    man = read_manifest(paths)
+    done = set(man.get("positions_segments", []))
+    todo = sorted(
+        int(s) for s in man["segments"] if int(s) not in done
+    )
+    out = os.path.join(paths.root, "positions")
+    if todo:
+        seg_meta = {
+            int(s): (int(m["min_doc"]), int(m["max_doc"]))
+            for s, m in man["segments"].items()
+        }
+        # batch segments map by uniform ranges; streamed segments by manifest
+        uniform = all(
+            lo == s * seg_size for s, (lo, hi) in seg_meta.items() if s < 1_000_000
+        )
+        tfp = build_tf_positions(docs)
+        if uniform and all(s < 1_000_000 for s in seg_meta):
+            tfp = tfp.withColumn(
+                "seg", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+            )
+        else:  # range table join for mixed/streamed geometries
+            ranges = spark.createDataFrame(
+                [(s, lo, hi) for s, (lo, hi) in seg_meta.items()],
+                "seg int, lo long, hi long",
+            )
+            tfp = tfp.join(
+                F.broadcast(ranges),
+                (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
+            ).drop("lo", "hi")
+        tfp = tfp.filter(F.col("seg").isin(todo))
+        positional = tfp.groupBy("seg").applyInPandas(
+            lambda pdf: _build_segment_positions(pdf), POSITIONS_SCHEMA
+        )
+        tio.overwrite_partitions(positional, out, "seg")
+        man = read_manifest(paths)
+        man["positions_segments"] = sorted(done | set(todo))
+        _commit_manifest(paths, man)
+    return out
+
+
+def _reanchor(pdel: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-doc cumulative sum of position deltas (first delta absolute):
+    one global cumsum, then subtract each doc's inherited prefix."""
+    if pdel.size == 0:
+        return pdel
+    g = np.cumsum(pdel)
+    starts = offs[:-1][np.diff(offs) > 0]  # first flat index of each doc
+    prefix = np.zeros(pdel.size, dtype=np.int64)
+    # inherited sum before each doc = g[start-1]; doc 0 inherits 0
+    inh = np.where(starts > 0, g[starts - 1], 0)
+    # delta of inherited amounts between consecutive docs
+    dinh = np.diff(inh, prepend=0)
+    prefix[starts] = dinh
+    np.cumsum(prefix, out=prefix)
+    return g - prefix
+
+
+def phrase_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[tuple[int, str]],
+    k: int = 100,
+) -> DataFrame:
+    """Exact phrase search over the positional index.
+
+    Returns (query_id, doc_id, n_occ) for docs containing the phrase's
+    tokens consecutively, top-k per query by (n_occ DESC, doc_id ASC).
+
+    Plan: one parquet scan of positions/ filtered to the phrase terms
+    (pushed IN-filter), one applyInPandas by seg; the kernel chains
+    adjacency fully vectorized — candidate doc positions are packed into
+    (doc_index << 22 | pos) ints so the whole phrase verifies with
+    len(phrase)-1 sorted-array intersections per (query, segment),
+    independent of candidate count. Only per-segment match rows cross to
+    the global top-k.
+    """
+    import re
+
+    phrases = []
+    for qid, text in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+        if toks:
+            phrases.append((qid, toks))
+    empty = spark.createDataFrame([], "query_id long, doc_id long, n_occ long")
+    if not phrases:
+        return empty
+    all_terms = sorted({t for _, ts in phrases for t in ts})
+
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
+
+    def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "doc_id": [], "n_occ": []}
+        by_term = {}
+        for _, r in p.iterrows():
+            ids = delta_decode(r["doc_ids_bin"]).astype(np.int64)
+            counts = decode_varint(r["pos_counts_bin"]).astype(np.int64)
+            pdel = decode_varint(r["positions_bin"]).astype(np.int64)
+            offs = np.zeros(ids.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            by_term[r["term"]] = (ids, offs, _reanchor(pdel, offs))
+        for qid, toks in phrases:
+            if any(t not in by_term for t in toks):
+                continue
+            # doc-list intersection across phrase terms, tracking row indices
+            cand = by_term[toks[0]][0]
+            idxs = [np.arange(cand.size)]
+            ok = True
+            for t in toks[1:]:
+                ids_t = by_term[t][0]
+                cand, ia, ib = np.intersect1d(
+                    cand, ids_t, assume_unique=True, return_indices=True
+                )
+                if cand.size == 0:
+                    ok = False
+                    break
+                idxs = [ix[ia] for ix in idxs]
+                idxs.append(ib)
+            if not ok:
+                continue
+            # pack candidate positions: global = cand_rank << SHIFT | pos
+            def packed(term, rows_idx, shift_by):
+                ids_t, offs, pos = by_term[term]
+                lens = (offs[rows_idx + 1] - offs[rows_idx]).astype(np.int64)
+                rank = np.repeat(np.arange(rows_idx.size, dtype=np.int64), lens)
+                flat = np.concatenate(
+                    [pos[offs[i] : offs[i + 1]] for i in rows_idx]
+                ) if rows_idx.size else np.empty(0, np.int64)
+                shifted = flat - shift_by
+                ok_pos = shifted >= 0  # a negative shift can't start a phrase
+                return (rank[ok_pos] << _POS_SHIFT) | shifted[ok_pos]
+
+            chain = packed(toks[0], idxs[0], 0)
+            for j, t in enumerate(toks[1:], start=1):
+                # positions of token j shifted back by j: a phrase occurrence
+                # at p has token j at p+j, so compare in token-0 coordinates
+                chain = np.intersect1d(
+                    chain, packed(t, idxs[j], j), assume_unique=True
+                )
+                if chain.size == 0:
+                    break
+            if chain.size == 0:
+                continue
+            ranks, occ = np.unique(chain >> _POS_SHIFT, return_counts=True)
+            out["query_id"].extend([qid] * ranks.size)
+            out["doc_id"].extend(cand[ranks].tolist())
+            out["n_occ"].extend(occ.tolist())
+        return pd.DataFrame(out).astype(
+            {"query_id": "int64", "doc_id": "int64", "n_occ": "int64"}
+        )
+
+    per_seg = rows.groupBy("seg").applyInPandas(
+        kernel, "query_id long, doc_id long, n_occ long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def phrase_match_relational(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """Catalyst-only phrase match twin (the small-scale oracle path and the
+    index-free fallback): posexplode the token stream once, then chain
+    len(phrase)-1 self-joins on (doc, pos+j). Returns (doc_id, n_occ).
+    SQL-expressible 1:1 (DuckDB unnest + generate_subscripts), so the
+    driver value-hash-checks the phrase semantics the index kernel
+    implements physically."""
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+    assert toks, "empty phrase"
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    base = (
+        stream.filter(F.col("term") == toks[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for j, t in enumerate(toks[1:], start=1):
+        nxt = stream.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias(f"p{j}")
+        )
+        base = base.join(
+            nxt,
+            (base["doc_id"] == nxt["d"])
+            & (nxt[f"p{j}"] == base["p0"] + F.lit(j)),
+        ).drop("d", f"p{j}")
+    return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))

@@ -1,0 +1,153 @@
+"""Positional index + phrase search tests: the physical index path must
+agree with the Catalyst relational twin (which the driver value-checks
+against DuckDB) on hand-built edge cases and on the synthetic corpus."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtix_spark.index.build import assign_doc_ids, build_index, read_manifest
+from mtix_spark.index.positions import (
+    build_positions,
+    build_tf_positions,
+    phrase_match_relational,
+    phrase_topk,
+)
+
+EDGE_DOCS = [
+    # (repo, path, commit, lang, content)
+    ("r", "a", "0", "py", "alpha beta gamma alpha beta"),        # phrase x2
+    ("r", "b", "0", "py", "alpha alpha alpha"),                  # overlap runs
+    ("r", "c", "0", "py", "beta. ALPHA-beta?? gamma"),           # punct/case
+    ("r", "d", "0", "py", "gamma alpha"),                        # reversed
+    ("r", "e", "0", "py", ""),                                   # empty doc
+    ("r", "f", "0", "py", "alpha beta gamma delta epsilon"),     # long phrase
+]
+
+
+@pytest.fixture(scope="module")
+def edge_index(spark, tmp_path_factory):
+    docs = assign_doc_ids(
+        spark.createDataFrame(
+            EDGE_DOCS, "repo string, path string, commit string, lang string, content string"
+        ),
+        4,
+    )
+    out = str(tmp_path_factory.mktemp("pidx") / "index")
+    shutil.rmtree(out, ignore_errors=True)
+    paths = build_index(spark, docs, out, n_segments=3)
+    build_positions(spark, docs, paths)
+    return docs, paths
+
+
+def _idx(spark, paths, phrases, k=10_000):
+    return (
+        phrase_topk(spark, paths, phrases, k=k)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def _rel(docs, phrases):
+    outs = []
+    for qid, ph in phrases:
+        if not any(c.isalnum() or c == "_" for c in ph):
+            continue
+        p = phrase_match_relational(docs, ph).toPandas()
+        p["query_id"] = qid
+        outs.append(p[["query_id", "doc_id", "n_occ"]])
+    if not outs:
+        return pd.DataFrame({"query_id": [], "doc_id": [], "n_occ": []}).astype("int64")
+    return (
+        pd.concat(outs)
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def test_phrase_edge_cases(spark, edge_index):
+    docs, paths = edge_index
+    phrases = [
+        (1, "alpha beta"),          # 2 in doc a, 1 in c (case/punct), 1 in f
+        (2, "alpha alpha"),         # overlapping: 2 occurrences in doc b
+        (3, "alpha beta gamma"),    # trigram
+        (4, "alpha beta gamma delta epsilon"),  # 5-gram, only doc f
+        (5, "gamma alpha"),         # order sensitivity
+        (6, "nope_zzz beta"),       # OOV first term
+        (7, "beta nope_zzz"),       # OOV last term
+    ]
+    idx = _idx(spark, paths, phrases)
+    rel = _rel(docs, phrases)
+    assert idx.equals(rel), f"\nindex:\n{idx}\nrel:\n{rel}"
+    # spot-assert absolute semantics (not just twin agreement)
+    by = {(r.query_id, r.doc_id): r.n_occ for r in idx.itertuples()}
+    a = docs.filter(F.col("path") == "a").first()["doc_id"]
+    b = docs.filter(F.col("path") == "b").first()["doc_id"]
+    assert by[(1, a)] == 2
+    assert by[(2, b)] == 2  # overlapping occurrences both count
+    assert (3, a) in by and by[(3, a)] == 1
+
+
+def test_phrase_empty_inputs(spark, edge_index):
+    _, paths = edge_index
+    assert phrase_topk(spark, paths, [(1, ""), (2, "  .. ")], k=5).count() == 0
+    assert phrase_topk(spark, paths, [], k=5).count() == 0
+
+
+def test_phrase_topk_limit_and_order(spark, edge_index):
+    docs, paths = edge_index
+    out = phrase_topk(spark, paths, [(1, "alpha beta")], k=1).toPandas()
+    # top-1 by (n_occ DESC, doc_id ASC): doc a with 2 occurrences
+    a = docs.filter(F.col("path") == "a").first()["doc_id"]
+    assert len(out) == 1 and out["doc_id"].iloc[0] == a and out["n_occ"].iloc[0] == 2
+
+
+def test_phrase_on_synth_corpus(spark, small_docs, small_index):
+    """Index path == relational twin on the 1000-doc synthetic corpus,
+    positional segments aligned with the existing tf segments."""
+    build_positions(spark, small_docs, small_index)
+    # derive phrases that actually occur: take two docs' leading bigrams
+    rows = small_docs.select("content").take(3)
+    import re
+
+    phrases = []
+    for i, r in enumerate(rows):
+        toks = [t for t in re.split("[^a-z0-9_]+", r["content"].lower()) if t]
+        phrases.append((i + 1, " ".join(toks[:2])))
+        phrases.append((100 + i, " ".join(toks[:3])))
+    idx = _idx(spark, small_index, phrases)
+    rel = _rel(small_docs, phrases)
+    assert len(idx) > 0
+    assert idx.equals(rel)
+
+
+def test_build_positions_resume_skips(spark, edge_index):
+    docs, paths = edge_index
+    man = read_manifest(paths)
+    assert set(man["positions_segments"]) == {int(s) for s in man["segments"]}
+    # second call is a no-op (all segments done) and must not error
+    build_positions(spark, docs, paths)
+
+
+def test_tf_positions_parallelism_invariant(spark):
+    """(term, doc_id, positions) is a pure function of the data — identical
+    at different input partitionings."""
+    docs = assign_doc_ids(
+        spark.createDataFrame(
+            EDGE_DOCS, "repo string, path string, commit string, lang string, content string"
+        ),
+        4,
+    )
+    a = build_tf_positions(docs.repartition(1)).toPandas()
+    b = build_tf_positions(docs.repartition(7)).toPandas()
+    key = lambda d: d.assign(positions=d["positions"].map(tuple)).sort_values(
+        ["term", "doc_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))
