@@ -187,9 +187,33 @@ def q_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_over_documents(spark, sf_dir, mode="merged")
 
 
-def _bm25_oracle() -> str:
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) BM25 top-k: docs containing EVERY query
+    term (B11 posting intersection). Relational path here; the physical
+    rarest-first-intersection kernel is asserted row-identical to this in
+    tests/test_index.py."""
+    from mtix_spark.index.search import bm25_conjunctive_brute
+
+    docs = _tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dl = docs.select("doc_id", F.size(tokenize("text")).alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
+    tf = _docs_tf(docs)
+    qdf = spark.createDataFrame(FIXED_QUERIES, "query_id long, text string")
+    out = bm25_conjunctive_brute(tf, dl, qdf, n_docs, avgdl, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _bm25_oracle(conjunctive: bool = False) -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
     toks = TOK.format(c="text")
+    having = (
+        "\n  HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -217,7 +241,7 @@ scored AS (
   JOIN dfreq d USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
-  GROUP BY 1, 2
+  GROUP BY 1, 2{having}
 )
 SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
@@ -1022,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "bm25_and_topk": q_bm25_and_topk,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "rollup_counts": q_rollup_counts,
@@ -1201,6 +1226,7 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey
 GROUP BY 1
 """,
+        "bm25_and_topk": _bm25_oracle(conjunctive=True),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "rollup_counts": """

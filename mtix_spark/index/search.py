@@ -229,6 +229,109 @@ def _maxscore_kernel(
     return pd.DataFrame(out)
 
 
+def bm25_conjunctive_brute(
+    tf: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 100,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Conjunctive (AND-semantics) BM25 top-k, all Catalyst: only docs
+    containing EVERY query term score (B11 — posting-list intersection,
+    expressed relationally as a hit-count HAVING filter; the physical path
+    is `SegmentSearcher.search_and`'s galloping numpy intersection). Same
+    scoring, rounding, and tie-break as `bm25_brute`."""
+    qt = query_terms(queries)
+    qn = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_terms"))
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    hits = tf.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    if dictionary is not None:
+        dfreq = dictionary.select("term", "df").filter(F.col("term").isin(terms))
+    else:
+        dfreq = (
+            tf.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("__hits"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("__hits") == F.col("__n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _conjunctive_kernel(
+    postings: pd.DataFrame,
+    dl_by_doc: np.ndarray,
+    seg_base: int,
+    queries: list[tuple[int, list[str]]],
+    idf: dict[str, float],
+    avgdl: float,
+) -> pd.DataFrame:
+    """AND-mode segment kernel: intersect the query terms' doc-id lists
+    (rarest-first — each np.intersect1d pass shrinks the candidate set, the
+    vectorized rendition of a galloping intersection), then score ONLY the
+    surviving docs. Work is bounded by the smallest posting list, not the
+    union — the reason conjunctive queries are cheap in inverted indexes."""
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in postings.itertuples(index=False):
+        by_term[r.term] = (
+            delta_decode(r.doc_ids_bin).astype(np.int64),
+            decode_varint(r.tfs_bin).astype(np.float64),
+        )
+    out = {"query_id": [], "doc_id": [], "score": []}
+    for qid, terms in queries:
+        if any(t not in by_term for t in terms) or not terms:
+            continue  # a missing term in this segment → no conjunctive hit here
+        order = sorted(terms, key=lambda t: by_term[t][0].size)
+        cand = by_term[order[0]][0]
+        rows = {order[0]: np.arange(cand.size)}
+        for t in order[1:]:
+            cand, ia, ib = np.intersect1d(
+                cand, by_term[t][0], assume_unique=True, return_indices=True
+            )
+            if cand.size == 0:
+                break
+            rows = {u: ix[ia] for u, ix in rows.items()}
+            rows[t] = ib
+        if cand.size == 0:
+            continue
+        local = cand - seg_base
+        acc = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(terms):  # fixed term order → deterministic float sum
+            tfs = by_term[t][1][rows[t]]
+            acc += idf[t] * tfs * (K1 + 1.0) / (
+                tfs + K1 * (1.0 - B + B * dl_by_doc[local] / avgdl)
+            )
+        out["query_id"].extend([qid] * cand.size)
+        out["doc_id"].extend(cand.tolist())
+        out["score"].extend(np.round(acc, SCORE_DECIMALS).tolist())
+    return pd.DataFrame(out).astype(
+        {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+    )
+
+
 class SegmentSearcher:
     """Reusable query handle over a built index.
 
@@ -352,6 +455,65 @@ class SegmentSearcher:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
             )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_seg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def search_and(self, queries: list[tuple[int, str]], k: int = 100) -> DataFrame:
+        """Conjunctive (AND) top-k: only docs containing EVERY query term.
+        Physical plan: same pushed-down term scan, per-segment rarest-first
+        posting intersection (`_conjunctive_kernel`), global top-k merge.
+        Queries with any corpus-OOV term return no rows (AND semantics).
+        Row-identical to `bm25_conjunctive_brute` (tested)."""
+        tokenized = self._tokenize_queries(queries)
+        all_terms = sorted({t for _, ts in tokenized for t in ts})
+        empty = self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+        if not all_terms:
+            return empty
+        missing = [t for t in all_terms if t not in self._df_cache]
+        if missing:
+            for t in missing:
+                self._df_cache[t] = 0
+            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                self._df_cache[r["term"]] = r["df"]
+        n_docs, avgdl = self.n_docs, self.avgdl
+        idf = {
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t in all_terms
+            if (df := self._df_cache[t]) > 0
+        }
+        # AND semantics: drop whole queries containing an OOV term
+        live = [(qid, ts) for qid, ts in tokenized if ts and all(t in idf for t in ts)]
+        if not live:
+            return empty
+        live_terms = sorted({t for _, ts in live for t in ts})
+        postings = self.postings.filter(F.col("term").isin(live_terms))
+        doclens_root = self.paths.doclens
+        seg_meta, seg_size = self.seg_meta, self.seg_size
+        build_id = self.build_id
+
+        def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            if seg in seg_meta:
+                base, n, _ = seg_meta[seg]
+            else:
+                base = seg * seg_size
+                n = min(seg_size, n_docs - base)
+            if not len(p):
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                    {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+                )
+            dl = _load_dl(doclens_root, seg, base, n, build_id)
+            return _conjunctive_kernel(p, dl, base, live, idf, avgdl)
+
+        per_seg = postings.groupBy("seg").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
+        )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             per_seg.withColumn("rank", F.row_number().over(w))

@@ -280,3 +280,37 @@ def test_search_topk_matches_search(spark, small_docs, small_index):
     )
     assert a == b
     assert s.search_topk([(1, "zz_oov_zz")], k=5).empty
+
+
+def test_conjunctive_engine_matches_brute(spark, small_docs, small_index):
+    """AND-mode physical kernel (rarest-first posting intersection) is
+    row-identical to the relational conjunctive brute (the oracle twin),
+    and every result doc contains every query term."""
+    from mtix_spark.index.search import SegmentSearcher, bm25_conjunctive_brute
+
+    n, avgdl = corpus_stats(small_docs)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 15).collect()]
+    queries += [(900, "zz_oov_zz save"), (901, "")]  # OOV term → empty; empty query
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    tf = build_tf(small_docs)
+    dl = small_docs.select("doc_id", F.col("doc_len").alias("dl"))
+    brute = _rows(bm25_conjunctive_brute(tf, dl, qdf, n, avgdl, k=30))
+    searcher = SegmentSearcher(spark, small_index, persist=False)
+    engine = _rows(searcher.search_and(queries, k=30))
+    assert engine == brute
+    assert not any(q in (900, 901) for q, *_ in engine)
+    # AND semantics spot check: intersect memberships for one query
+    qid, text = queries[0]
+    import re
+
+    terms = {t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t}
+    hit_docs = [d for q, r, d, s in engine if q == qid]
+    if hit_docs:
+        member = (
+            build_tf(small_docs)
+            .filter(F.col("term").isin(sorted(terms)) & F.col("doc_id").isin(hit_docs))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .collect()
+        )
+        assert all(r["nt"] == len(terms) for r in member)
