@@ -290,6 +290,11 @@ def phrase_topk(
 
     pos_dir = os.path.join(paths.root, "positions")
     rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
+    # manifest = source of truth for live positional segments (orphan dirs
+    # from an interrupted compaction must not produce duplicate rows)
+    live = read_manifest(paths).get("positions_segments")
+    if live:
+        rows = rows.filter(F.col("seg").isin(sorted(live)))
 
     def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "doc_id": [], "n_occ": []}

@@ -383,6 +383,14 @@ class SegmentSearcher:
         except OSError:
             self.build_id = 0.0
         self.postings = spark.read.parquet(paths.postings)
+        # the manifest is the source of truth for the live segment set:
+        # orphan seg=K dirs (crash between a compaction's manifest commit
+        # and its old-dir cleanup, or an aborted build) must not be scored
+        # — without this filter their postings would double-count
+        if self.seg_meta:
+            self.postings = self.postings.filter(
+                F.col("seg").isin(sorted(self.seg_meta))
+            )
         self.dictionary = spark.read.parquet(paths.dictionary)
         self._persisted = persist
         if persist:

@@ -1,0 +1,124 @@
+"""Segment compaction: query results must be invariant under compaction
+(BM25 disjunctive, conjunctive, phrase), the manifest must stay the source
+of truth, and crash leftovers must be vacuumable."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtix_spark.corpus import synth_corpus, synth_queries
+from mtix_spark.index.build import assign_doc_ids, build_index, read_manifest
+from mtix_spark.index.compact import (
+    compact_segments,
+    plan_compaction,
+    vacuum_segments,
+)
+from mtix_spark.index.positions import build_positions, phrase_topk
+from mtix_spark.index.search import SegmentSearcher
+
+
+def test_plan_compaction_policy():
+    man = {
+        "segments": {
+            "0": {"min_doc": 0, "max_doc": 99, "n_docs": 100},
+            "1": {"min_doc": 100, "max_doc": 199, "n_docs": 100},
+            "2": {"min_doc": 200, "max_doc": 99_999, "n_docs": 99_800},  # big
+            "3": {"min_doc": 100_000, "max_doc": 100_049, "n_docs": 50},
+            "4": {"min_doc": 100_050, "max_doc": 100_099, "n_docs": 50},
+            "5": {"min_doc": 100_100, "max_doc": 100_149, "n_docs": 50},
+        }
+    }
+    groups = plan_compaction(man, small_docs=5_000, max_group=16)
+    assert groups == [[0, 1], [3, 4, 5]]  # big segment 2 breaks the run
+    # max_group caps a run
+    assert plan_compaction(man, small_docs=5_000, max_group=2) == [[0, 1], [3, 4]]
+    # nothing to do when everything is big
+    assert plan_compaction(man, small_docs=10) == []
+
+
+@pytest.fixture(scope="module")
+def compactable_index(spark, tmp_path_factory):
+    docs = assign_doc_ids(synth_corpus(spark, 900), 8)
+    out = str(tmp_path_factory.mktemp("cidx") / "index")
+    shutil.rmtree(out, ignore_errors=True)
+    paths = build_index(spark, docs, out, n_segments=6)  # 6 × 150-doc segments
+    build_positions(spark, docs, paths)
+    return docs, paths
+
+
+def _probe(spark, paths, queries, phrases):
+    s = SegmentSearcher(spark, paths, persist=False)
+    topk = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in s.search(queries, k=30).collect()
+    )
+    conj = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in s.search_and(queries[:5], k=30).collect()
+    )
+    ph = sorted(
+        (r["query_id"], r["doc_id"], r["n_occ"])
+        for r in phrase_topk(spark, paths, phrases, k=10_000).collect()
+    )
+    return topk, conj, ph
+
+
+def test_compaction_preserves_results(spark, compactable_index):
+    docs, paths = compactable_index
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 15).collect()]
+    import re
+
+    c = docs.select("content").first()["content"]
+    toks = [t for t in re.split(r"[^a-z0-9_]+", c.lower()) if t]
+    phrases = [(1, " ".join(toks[:2])), (2, " ".join(toks[:3]))]
+
+    before = _probe(spark, paths, queries, phrases)
+    man0 = read_manifest(paths)
+    assert len(man0["segments"]) == 6
+
+    new_ids = compact_segments(spark, paths, small_docs=5_000, max_group=3)
+    assert len(new_ids) == 2  # 6 small segments → two groups of 3
+
+    man1 = read_manifest(paths)
+    assert set(int(s) for s in man1["segments"]) == set(new_ids)
+    assert sorted(man1["positions_segments"]) == sorted(new_ids)
+    # doc coverage is preserved exactly
+    assert sum(m["n_docs"] for m in man1["segments"].values()) == 900
+
+    after = _probe(spark, paths, queries, phrases)
+    assert after == before
+
+    # old seg dirs are gone from disk
+    left = {d for d in os.listdir(paths.postings) if d.startswith("seg=")}
+    assert left == {f"seg={i}" for i in new_ids}
+
+
+def test_orphan_segments_ignored_and_vacuumed(spark, compactable_index):
+    """A crash between manifest commit and dir cleanup leaves orphan seg
+    dirs: queries must ignore them (manifest filter), vacuum removes them."""
+    docs, paths = compactable_index
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 10).collect()]
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search(queries, k=20)
+        .collect()
+    )
+    # fabricate an orphan by copying a live segment dir to an unused id
+    live = sorted(os.listdir(paths.postings))[0]
+    orphan = os.path.join(paths.postings, "seg=777777")
+    shutil.copytree(os.path.join(paths.postings, live), orphan)
+    after = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search(queries, k=20)
+        .collect()
+    )
+    assert after == before  # orphan postings not scored
+    removed = vacuum_segments(paths)
+    assert "seg=777777" in removed
+    assert not os.path.exists(orphan)

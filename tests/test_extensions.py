@@ -287,6 +287,16 @@ def test_stream_index_ingest_and_query(spark, tmp_path):
     assert s_res == b_res
     assert any(len(v) > 0 for v in s_res.values())
 
+    # compaction folds the per-micro-batch segments into one; results are
+    # unchanged (the streaming-health half of the compaction contract)
+    from mtix_spark.index.compact import compact_segments
+
+    new_ids = compact_segments(spark, paths, small_docs=100_000)
+    man2 = J.load(open(paths.manifest))
+    assert len(new_ids) == 1 and set(man2["segments"]) == {str(new_ids[0])}
+    c_res = ranked_by_path(paths, SegmentSearcher(spark, paths, persist=False))
+    assert c_res == b_res
+
 
 def test_windowed_counts_batch_twin(spark):
     from mtix_spark.streaming.ingest import windowed_event_counts

@@ -31,10 +31,15 @@ from mtix_spark.index.build import assign_doc_ids, build_index
 from mtix_spark.index.search import SegmentSearcher
 
 cpus, corpus_dir, idx_dir, n_docs = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
-spark = get_spark(f"scal{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+# identical JOB at both cluster sizes: 32 shuffle partitions and 32 input
+# parts regardless of core count (else the smaller config runs fewer,
+# coarser tasks — balls-in-bins imbalance at the larger config then reads
+# as fake scaling loss: 32 segment groups hashed into `cpus` reduce tasks
+# leaves stragglers with 2-3x the median load)
+spark = get_spark(f"scal{cpus}", master=f"local[{cpus}]", shuffle_partitions=32)
 
 t0 = time.time()
-docs = assign_doc_ids(spark.read.parquet(corpus_dir), cpus)
+docs = assign_doc_ids(spark.read.parquet(corpus_dir), 32)
 paths = build_index(spark, docs, idx_dir, n_segments=32)  # fixed: identical job
 build_s = time.time() - t0
 
