@@ -91,6 +91,38 @@ def main() -> None:
         mlat.append((time.time() - t1) * 1000)
     mlat.sort()
     extra["merged_warm_p95_ms"] = round(mlat[int(0.95 * len(mlat)) - 1], 2)
+
+    # --- conjunctive (AND) path over the same index ------------------------
+    sa = SegmentSearcher(spark, paths, persist=False)
+    t0 = time.time()
+    sa.search_and(qset[:50], k=100).collect()
+    timings["bm25_and_50q"] = round(time.time() - t0, 3)
+
+    # --- positional index + phrase queries ---------------------------------
+    from mtix_spark.index.positions import build_positions, phrase_topk
+
+    t0 = time.time()
+    build_positions(spark, docs, paths)
+    timings["positions_build"] = round(time.time() - t0, 3)
+    import re
+
+    phrases = []
+    for i, r in enumerate(spark.read.parquet(corpus_dir).select("content").take(25)):
+        toks = [t for t in re.split(r"[^a-z0-9_]+", r["content"].lower()) if t]
+        if len(toks) >= 2:
+            phrases.append((i, " ".join(toks[:2])))
+    t0 = time.time()
+    phrase_topk(spark, paths, phrases, k=100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["phrase_25q"] = round(time.time() - t0, 3)
+
+    # --- segment compaction (streaming-health op) --------------------------
+    from mtix_spark.index.compact import compact_segments
+
+    t0 = time.time()
+    compact_segments(spark, paths, small_docs=10**9, max_group=8)
+    timings["compact_segments"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
     # --- operator suite over the driver tables -----------------------------
