@@ -331,6 +331,100 @@ WITH toks AS (
 """
 
 
+SNIPPET_WINDOW = 2
+
+
+def q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: token snippet around each matching doc's first phrase
+    occurrence (positions consumer; relational twin oracled here)."""
+    from mtix_spark.index.positions import phrase_snippets
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, ph in FIXED_PHRASES[:3]:  # skip the OOV probe (empty set)
+        s = phrase_snippets(docs, ph, window=SNIPPET_WINDOW, text_col="text")
+        outs.append(
+            s.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "doc_id", "n_occ", F.col("first_pos").cast("long").alias("first_pos"),
+                "snippet",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _snippet_oracle() -> str:
+    toks = TOK.format(c="text")
+    w = SNIPPET_WINDOW
+    parts = []
+    for qid, ph in FIXED_PHRASES[:3]:
+        words = [t for t in re.split("[^a-z0-9_]+", ph.lower()) if t]
+        m = len(words)
+        joins = "\n".join(
+            f"JOIN stream t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+            f"AND t{j}.term = '{x}'"
+            for j, x in enumerate(words[1:], start=1)
+        )
+        parts.append(f"""
+SELECT {qid}::BIGINT AS query_id, h.doc_id, h.n_occ, h.first_pos,
+       array_to_string(l[greatest(h.first_pos - {w} + 1, 1) : h.first_pos + {m} + {w}], ' ') AS snippet
+FROM (
+  SELECT t0.doc_id, count(*)::BIGINT AS n_occ, min(t0.pos)::BIGINT AS first_pos
+  FROM stream t0 {joins}
+  WHERE t0.term = '{words[0]}' GROUP BY 1
+) h JOIN toklists USING (doc_id)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toklists AS (SELECT doc_id, {toks} AS l FROM documents),
+stream AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM toklists
+)
+{body}
+"""
+
+
+CONTAM_PROBE_IDS = [3, 7]
+CONTAM_N = 3  # 3-grams give real cross-doc hits on the synthetic corpus
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing a token 5-gram with either
+    probe document (the probes stand in for a held-out benchmark set)."""
+    from mtix_spark.dedup import contaminated_docs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id").isin(CONTAM_PROBE_IDS)).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return contaminated_docs(
+        docs, probes, n=CONTAM_N, probe_text_col="text"
+    )
+
+
+def _contamination_oracle() -> str:
+    toks = TOK.format(c="text")
+    n = CONTAM_N
+    ids = ", ".join(str(i) for i in CONTAM_PROBE_IDS)
+    gram = " || ' ' || ".join(f"l[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(len(l) - {n - 1}), i -> {gram}
+  ))) AS sh
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+  WHERE len(l) >= {n}
+),
+psh AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id IN ({ids}))
+SELECT d.doc_id, p.probe_id, count(DISTINCT d.sh)::BIGINT AS n_shared
+FROM sh d JOIN psh p USING (sh)
+GROUP BY 1, 2
+"""
+
+
 def q_doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
@@ -1177,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
+        "phrase_snippets": q_phrase_snippets,
+        "contamination": q_contamination,
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
         "range_join": q_range_join,
@@ -1410,6 +1506,8 @@ GROUP BY 1
         "bm25_and_topk": _bm25_oracle(conjunctive=True),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
+        "phrase_snippets": _snippet_oracle(),
+        "contamination": _contamination_oracle(),
         "rollup_counts": """
 SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY ROLLUP (lang, source)

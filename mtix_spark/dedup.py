@@ -131,6 +131,42 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def contaminated_docs(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 token n-gram with
+    any probe text (the held-out-set leak check every LLM training pipeline
+    runs before a data release).
+
+    Returns (doc_id, probe_id, n_shared) — distinct shared n-gram count per
+    (doc, probe) pair. Plan: probe shingles (tiny relation) BROADCAST to an
+    equi-join on the shingle string against the corpus shingles — the
+    corpus side streams map-side, no shuffle of corpus data at all; only
+    matching (doc, probe, shingle) rows reach the count aggregation. At
+    100 TB the probe set (benchmarks) is always the small side, so the
+    plan's broadcast shape is the right one at any corpus scale.
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    probe_sh = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(shingles(F.col(probe_text_col), n)).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "sh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = N_PERM
 ) -> DataFrame:

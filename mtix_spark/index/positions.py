@@ -367,6 +367,62 @@ def phrase_topk(
     )
 
 
+def phrase_snippets(
+    docs: DataFrame,
+    phrase: str,
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Highlighting: for each doc matching the phrase, the token snippet
+    around its FIRST occurrence — `window` tokens of context either side.
+
+    Returns (doc_id, n_occ, first_pos, snippet). Pure Catalyst: the match
+    positions come from the same adjacency chain as phrase_match_relational,
+    the snippet is an F.slice over the tokenized stream (1-based, clamped at
+    the doc start). At serving scale the first_pos comes from the positional
+    index (`phrase_topk` + per-doc position decode) and only the top-k docs'
+    content is fetched for rendering; this relational form is the oracle
+    twin and the index-free fallback."""
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+    assert toks, "empty phrase"
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    base = (
+        stream.filter(F.col("term") == toks[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for j, t in enumerate(toks[1:], start=1):
+        nxt = stream.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias(f"p{j}")
+        )
+        base = base.join(
+            nxt,
+            (base["doc_id"] == nxt["d"]) & (nxt[f"p{j}"] == base["p0"] + F.lit(j)),
+        ).drop("d", f"p{j}")
+    hits = base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("p0").alias("first_pos")
+    )
+    m = len(toks)
+    start = F.greatest(F.col("first_pos") - window + 1, F.lit(1))  # 1-based
+    length = F.col("first_pos") + m + window - start + 1
+    return (
+        hits.join(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+        .select(
+            "doc_id",
+            "n_occ",
+            "first_pos",
+            F.concat_ws(
+                " ", F.slice(tokenize(F.col(text_col)), start, length)
+            ).alias("snippet"),
+        )
+    )
+
+
 def phrase_match_relational(
     docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:

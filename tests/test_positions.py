@@ -151,3 +151,43 @@ def test_tf_positions_parallelism_invariant(spark):
         ["term", "doc_id"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_phrase_snippets(spark, edge_index):
+    from mtix_spark.index.positions import phrase_snippets
+
+    docs, _ = edge_index
+    out = {
+        r["doc_id"]: r
+        for r in phrase_snippets(docs, "alpha beta", window=1).collect()
+    }
+    a = docs.filter(F.col("path") == "a").first()["doc_id"]
+    c = docs.filter(F.col("path") == "c").first()["doc_id"]
+    # doc a: "alpha beta gamma alpha beta" → first occurrence at 0, clamped
+    assert out[a]["n_occ"] == 2 and out[a]["first_pos"] == 0
+    assert out[a]["snippet"] == "alpha beta gamma"
+    # doc c: "beta. ALPHA-beta?? gamma" → tokens [beta, alpha, beta, gamma]
+    assert out[c]["first_pos"] == 1
+    assert out[c]["snippet"] == "beta alpha beta gamma"
+
+
+def test_contaminated_docs(spark):
+    from mtix_spark.dedup import contaminated_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a quick brown fox appears"),        # shares "quick brown fox"
+            (2, "completely unrelated text here"),
+            (3, "the quick brown fox jumps high"),   # shares 2 distinct 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], "probe_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["probe_id"]): r["n_shared"]
+        for r in contaminated_docs(docs, probes, n=3).collect()
+    }
+    assert got == {(0, 100): 2, (1, 100): 1, (3, 100): 2}
