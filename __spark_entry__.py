@@ -114,6 +114,10 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, mode: str) -> DataFra
                      from the merged posting lists (merged_topk — the B5
                      consumer). All three share ONE oracle — the point of
                      the correctness gate.
+    mode="deleted" → index path after tombstoning DELETED_ORIG_IDS
+                     (Lucene stale-stats semantics: full-corpus stats, the
+                     deleted docs masked out of every result — the oracle
+                     mirrors this with a pre-rank exclusion filter).
     """
     from mtix_spark.index.search import bm25_brute
 
@@ -153,6 +157,18 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, mode: str) -> DataFra
                 pdf[["query_id", "doc_id", "score"]],
                 "query_id long, doc_id long, score double",
             )
+        elif mode == "deleted":
+            from mtix_spark.index.deletes import delete_docs
+
+            dense_victims = [
+                r["doc_id"]
+                for r in spark.read.parquet(paths.docmap)
+                .filter(F.col("path").cast("long").isin(DELETED_ORIG_IDS))
+                .select("doc_id")
+                .collect()
+            ]
+            delete_docs(spark, paths, dense_victims)
+            res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK * 5)
         else:
             res = bm25_topk_segments(spark, paths, FIXED_QUERIES, k=TOPK * 5)
         docmap = spark.read.parquet(paths.docmap).select(
@@ -187,6 +203,13 @@ def q_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_over_documents(spark, sf_dir, mode="merged")
 
 
+DELETED_ORIG_IDS = [2, 5, 11, 17, 23, 40]
+
+
+def q_bm25_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_over_documents(spark, sf_dir, mode="deleted")
+
+
 def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND-semantics) BM25 top-k: docs containing EVERY query
     term (B11 posting intersection). Relational path here; the physical
@@ -206,12 +229,17 @@ def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle(conjunctive: bool = False) -> str:
+def _bm25_oracle(conjunctive: bool = False, exclude: list[int] | None = None) -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
     toks = TOK.format(c="text")
     having = (
         "\n  HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
         if conjunctive
+        else ""
+    )
+    where_rank = (
+        f"  WHERE doc_id NOT IN ({', '.join(str(i) for i in exclude)})\n"
+        if exclude
         else ""
     )
     return f"""
@@ -247,7 +275,7 @@ SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
-) WHERE rank <= {TOPK}
+{where_rank}) WHERE rank <= {TOPK}
 """
 
 
@@ -1269,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
         "bm25_and_topk": q_bm25_and_topk,
+        "bm25_deleted_topk": q_bm25_deleted_topk,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -1504,6 +1533,7 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1
 """,
         "bm25_and_topk": _bm25_oracle(conjunctive=True),
+        "bm25_deleted_topk": _bm25_oracle(exclude=DELETED_ORIG_IDS),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -1,0 +1,294 @@
+"""Document deletion: tombstones + purge (Lucene's deletes model,
+re-expressed over the engine's immutable segments).
+
+`delete_docs` writes per-segment tombstone parquet under `deletes/seg=K/`
+and bumps `delete_epoch` in the manifest. Queries then MASK deleted docs at
+posting-decode time — inside the segment kernels, before any accumulation
+or pruning (masking after top-k would let a deleted doc's score inflate the
+MaxScore threshold θ and wrongly prune live docs). Scoring keeps the
+build-time corpus stats (N, avgdl, df) until a purge — exactly Lucene's
+semantics, where deleted docs still count in df/IDF until segments merge.
+
+`purge_deletes` is expungeDeletes: each tombstoned segment is rebuilt from
+its decoded tf (and positions) relation minus the deleted docs, corpus
+stats and the dictionary are recomputed, and tombstones clear. After a
+purge the index is value-identical to one built fresh over the surviving
+docs (modulo dense docID assignment — tested via the path mapping).
+
+Tombstone sets ride executor-local caches keyed by (root, seg,
+delete_epoch) — same discipline as the doc-length cache: never shuffled,
+invalidated by epoch bump.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtix_spark.index.build import (
+    POSTINGS_SCHEMA,
+    IndexPaths,
+    _build_segment_postings,
+    _commit_manifest,
+    read_manifest,
+)
+
+_DEL_CACHE: dict = {}
+_DEL_CACHE_MAX = 64
+
+
+def deletes_root(paths: IndexPaths) -> str:
+    return os.path.join(paths.root, "deletes")
+
+
+def load_deleted(root: str, seg: int, epoch: int) -> np.ndarray:
+    """Sorted deleted doc ids of one segment (executor-local, cached)."""
+    key = (root, seg, epoch)
+    hit = _DEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = []
+    for f in glob.glob(os.path.join(root, f"seg={seg}", "*.parquet")):
+        parts.append(pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy())
+    out = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    ).astype(np.int64)
+    if len(_DEL_CACHE) >= _DEL_CACHE_MAX:
+        _DEL_CACHE.pop(next(iter(_DEL_CACHE)))
+    _DEL_CACHE[key] = out
+    return out
+
+
+def mask_deleted(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for sorted-unique `deleted` (searchsorted
+    membership — O(|ids| log |deleted|), no Python)."""
+    if deleted.size == 0:
+        return np.ones(ids.size, dtype=bool)
+    pos = np.searchsorted(deleted, ids)
+    pos_c = np.minimum(pos, deleted.size - 1)
+    return deleted[pos_c] != ids
+
+
+def delete_docs(spark: SparkSession, paths: IndexPaths, doc_ids: list[int]) -> int:
+    """Tombstone the given doc ids. Returns the number of NEW tombstones
+    (ids already deleted or outside every segment's range don't count).
+    Accumulates across calls (union with existing tombstones per segment);
+    the manifest's `delete_epoch` bump invalidates executor caches."""
+    from mtix_spark.table_io import DEFAULT_IO as tio
+
+    man = read_manifest(paths)
+    ranges = [
+        (int(m["min_doc"]), int(m["max_doc"]), int(sid))
+        for sid, m in man["segments"].items()
+    ]
+    by_seg: dict[int, set] = {}
+    for d in set(doc_ids):
+        for lo, hi, sid in ranges:
+            if lo <= d <= hi:
+                by_seg.setdefault(sid, set()).add(int(d))
+                break
+    root = deletes_root(paths)
+    n_new = 0
+    for sid, ids in sorted(by_seg.items()):
+        seg_dir = os.path.join(root, f"seg={sid}")
+        existing: set = set()
+        if os.path.isdir(seg_dir):
+            existing = {
+                r["doc_id"]
+                for r in spark.read.parquet(seg_dir).select("doc_id").collect()
+            }
+        merged = sorted(existing | ids)
+        n_new += len(merged) - len(existing)
+        df = spark.createDataFrame([(i,) for i in merged], "doc_id long").coalesce(1)
+        tio.overwrite_partition(df, root, "seg", sid)
+    if n_new:
+        man["delete_epoch"] = int(man.get("delete_epoch", 0)) + 1
+        man["n_deleted"] = int(man.get("n_deleted", 0)) + n_new
+        _commit_manifest(paths, man)
+    return n_new
+
+
+def purge_deletes(spark: SparkSession, paths: IndexPaths) -> list[int]:
+    """expungeDeletes: physically rewrite every tombstoned segment without
+    its deleted docs, recompute corpus stats + dictionary + block maxima
+    (with the POST-purge avgdl), clear tombstones. Returns purged seg ids."""
+    import json
+    import shutil
+
+    from mtix_spark.index.codec import decode_varint, delta_decode
+    from mtix_spark.table_io import DEFAULT_IO as tio
+
+    man = read_manifest(paths)
+    root = deletes_root(paths)
+    if not os.path.isdir(root):
+        return []
+    seg_dirs = [
+        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("seg=")
+    ]
+    todo = [s for s in seg_dirs if str(s) in man["segments"]]
+    if not todo:
+        return []
+
+    epoch = int(man.get("delete_epoch", 0))
+    # post-purge corpus stats from the docmap minus tombstones
+    dm = spark.read.parquet(paths.docmap)
+    del_df = spark.read.parquet(root).select(
+        F.col("seg").alias("dseg"), "doc_id"
+    )
+    live = dm.join(del_df.select("doc_id"), "doc_id", "left_anti")
+    row = live.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok")
+    ).collect()[0]
+    n_docs, tokens = int(row["n"]), int(row["tok"] or 0)
+    avgdl = tokens / n_docs if n_docs else 0.0
+
+    stage = os.path.join(paths.root, "purge_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def swap(src: str, dest: str) -> None:
+        """Staged-write cut-over: the rebuilt relation lands in `src`, then
+        replaces `dest` on the filesystem — never reading and overwriting
+        one path in a single lazy Spark plan."""
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.move(src, dest)
+
+    for sid in sorted(todo):
+        deleted = load_deleted(root, sid, epoch)
+
+        def decode_kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                terms, docs_, tfs_ = [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+                    tfs = decode_varint(r.tfs_bin).astype(np.int64)
+                    keep = mask_deleted(ids, deleted)
+                    if not keep.any():
+                        continue
+                    ids, tfs = ids[keep], tfs[keep]
+                    terms.extend([r.term] * ids.size)
+                    docs_.append(ids)
+                    tfs_.append(tfs)
+                if terms:
+                    yield pd.DataFrame(
+                        {
+                            "term": terms,
+                            "doc_id": np.concatenate(docs_),
+                            "tf": np.concatenate(tfs_).astype("int32"),
+                        }
+                    )
+
+        seg_post = spark.read.parquet(
+            os.path.join(paths.postings, f"seg={sid}")
+        )
+        tf = seg_post.mapInPandas(
+            decode_kernel, "term string, doc_id long, tf int"
+        )
+        seg_dm = spark.read.parquet(os.path.join(paths.docmap, f"seg={sid}"))
+        live_dm = seg_dm.join(del_df.select("doc_id"), "doc_id", "left_anti")
+        seg_live = live_dm.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok")
+        ).collect()[0]
+        dl = live_dm.select("doc_id", F.col("dl").alias("dl"))
+        rebuilt = (
+            tf.join(dl, "doc_id")
+            .withColumn("seg", F.lit(sid).cast("int"))
+            .groupBy("seg")
+            .applyInPandas(
+                lambda pdf: _build_segment_postings(pdf, avgdl), POSTINGS_SCHEMA
+            )
+        )
+        tio.overwrite(rebuilt.drop("seg"), os.path.join(stage, f"postings_{sid}"))
+        tio.overwrite(live_dm, os.path.join(stage, f"docmap_{sid}"))
+
+        # positional twin, if present
+        pos_root = os.path.join(paths.root, "positions")
+        has_pos = sid in set(man.get("positions_segments", []))
+        if has_pos:
+            from mtix_spark.index.positions import (
+                POSITIONS_SCHEMA,
+                _build_segment_positions,
+                _reanchor,
+            )
+
+            def pos_decode_kernel(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    out = {"term": [], "doc_id": [], "positions": []}
+                    for r in pdf.itertuples(index=False):
+                        ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+                        counts = decode_varint(r.pos_counts_bin).astype(np.int64)
+                        pdel = decode_varint(r.positions_bin).astype(np.int64)
+                        offs = np.zeros(ids.size + 1, dtype=np.int64)
+                        np.cumsum(counts, out=offs[1:])
+                        pos = _reanchor(pdel, offs)
+                        keep = mask_deleted(ids, deleted)
+                        for i in np.flatnonzero(keep):
+                            out["term"].append(r.term)
+                            out["doc_id"].append(int(ids[i]))
+                            out["positions"].append(
+                                pos[offs[i] : offs[i + 1]].astype("int32")
+                            )
+                    if out["term"]:
+                        yield pd.DataFrame(out)
+
+            seg_pos = spark.read.parquet(os.path.join(pos_root, f"seg={sid}"))
+            tfp = seg_pos.mapInPandas(
+                pos_decode_kernel, "term string, doc_id long, positions array<int>"
+            ).withColumn("seg", F.lit(sid).cast("int"))
+            rebuilt_pos = tfp.groupBy("seg").applyInPandas(
+                lambda pdf: _build_segment_positions(pdf), POSITIONS_SCHEMA
+            )
+            tio.overwrite(
+                rebuilt_pos.drop("seg"), os.path.join(stage, f"positions_{sid}")
+            )
+
+        # staged data complete for this segment — cut over on disk
+        swap(os.path.join(stage, f"postings_{sid}"),
+             os.path.join(paths.postings, f"seg={sid}"))
+        swap(os.path.join(stage, f"docmap_{sid}"),
+             os.path.join(paths.docmap, f"seg={sid}"))
+        if has_pos:
+            swap(os.path.join(stage, f"positions_{sid}"),
+                 os.path.join(pos_root, f"seg={sid}"))
+
+        # segment bookkeeping: doc range bounds stay (sound supersets);
+        # counts/avgdl reflect the purge
+        m = man["segments"][str(sid)]
+        m["n_docs"] = int(seg_live["n"])
+        m["tokens"] = int(seg_live["tok"] or 0)
+        m["avgdl_build"] = avgdl
+    shutil.rmtree(stage, ignore_errors=True)
+    # tombstones clear only after the loop: del_df's cached file listing
+    # still references these dirs during later iterations' anti-joins
+    for sid in todo:
+        shutil.rmtree(os.path.join(root, f"seg={sid}"), ignore_errors=True)
+
+    # dictionary + stats recomputed from the rewritten postings
+    tio.overwrite(
+        spark.read.parquet(paths.postings)
+        .filter(F.col("seg").isin([int(s) for s in man["segments"]]))
+        .groupBy("term")
+        .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
+        paths.dictionary,
+    )
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    stats["n_docs"], stats["avgdl"] = n_docs, avgdl
+    with open(paths.stats + ".tmp", "w") as f:
+        json.dump(stats, f)
+    os.replace(paths.stats + ".tmp", paths.stats)
+    man["stats"] = stats
+    man["n_deleted"] = 0
+    man["delete_epoch"] = epoch + 1  # invalidate executor tombstone caches
+    _commit_manifest(paths, man)
+    return sorted(todo)

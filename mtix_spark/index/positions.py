@@ -296,7 +296,17 @@ def phrase_topk(
     if live:
         rows = rows.filter(F.col("seg").isin(sorted(live)))
 
+    man = read_manifest(paths)
+    has_deletes = int(man.get("n_deleted", 0)) > 0
+    del_root = os.path.join(paths.root, "deletes")
+    del_epoch = int(man.get("delete_epoch", 0))
+
     def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
+        deleted = None
+        if has_deletes:
+            from mtix_spark.index.deletes import load_deleted, mask_deleted
+
+            deleted = load_deleted(del_root, int(key[0]), del_epoch)
         out = {"query_id": [], "doc_id": [], "n_occ": []}
         by_term = {}
         for _, r in p.iterrows():
@@ -305,7 +315,19 @@ def phrase_topk(
             pdel = decode_varint(r["positions_bin"]).astype(np.int64)
             offs = np.zeros(ids.size + 1, dtype=np.int64)
             np.cumsum(counts, out=offs[1:])
-            by_term[r["term"]] = (ids, offs, _reanchor(pdel, offs))
+            pos = _reanchor(pdel, offs)
+            if deleted is not None and deleted.size:
+                keep = np.flatnonzero(mask_deleted(ids, deleted))
+                if keep.size != ids.size:
+                    pos = (
+                        np.concatenate([pos[offs[i] : offs[i + 1]] for i in keep])
+                        if keep.size
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    new_offs = np.zeros(keep.size + 1, dtype=np.int64)
+                    np.cumsum(counts[keep], out=new_offs[1:])
+                    ids, offs = ids[keep], new_offs
+            by_term[r["term"]] = (ids, offs, pos)
         for qid, toks in phrases:
             if any(t not in by_term for t in toks):
                 continue

@@ -152,6 +152,7 @@ def _maxscore_kernel(
     avgdl: float,
     k: int,
     bm_scale: float = 1.0,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Term-at-a-time BM25 with MaxScore pruning over one segment.
 
@@ -177,6 +178,16 @@ def _maxscore_kernel(
     for r in postings.itertuples(index=False):
         ids = delta_decode(r.doc_ids_bin).astype(np.int64)
         tfs = decode_varint(r.tfs_bin).astype(np.float64)
+        if deleted is not None and deleted.size:
+            # mask at decode time, BEFORE accumulation/pruning: a deleted
+            # doc's score must never inflate θ (it would wrongly prune
+            # live docs in the restricted phase)
+            from mtix_spark.index.deletes import mask_deleted
+
+            keep = mask_deleted(ids, deleted)
+            ids, tfs = ids[keep], tfs[keep]
+        if ids.size == 0:
+            continue
         bm = np.asarray(r.block_max_wtf, dtype=np.float64)
         by_term[r.term] = (ids, tfs, bm)
         ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) * bm_scale if bm.size else 0.0
@@ -288,6 +299,7 @@ def _conjunctive_kernel(
     queries: list[tuple[int, list[str]]],
     idf: dict[str, float],
     avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """AND-mode segment kernel: intersect the query terms' doc-id lists
     (rarest-first — each np.intersect1d pass shrinks the candidate set, the
@@ -296,10 +308,14 @@ def _conjunctive_kernel(
     union — the reason conjunctive queries are cheap in inverted indexes."""
     by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for r in postings.itertuples(index=False):
-        by_term[r.term] = (
-            delta_decode(r.doc_ids_bin).astype(np.int64),
-            decode_varint(r.tfs_bin).astype(np.float64),
-        )
+        ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+        tfs = decode_varint(r.tfs_bin).astype(np.float64)
+        if deleted is not None and deleted.size:
+            from mtix_spark.index.deletes import mask_deleted
+
+            keep = mask_deleted(ids, deleted)
+            ids, tfs = ids[keep], tfs[keep]
+        by_term[r.term] = (ids, tfs)
     out = {"query_id": [], "doc_id": [], "score": []}
     for qid, terms in queries:
         if any(t not in by_term for t in terms) or not terms:
@@ -382,6 +398,10 @@ class SegmentSearcher:
             self.build_id = os.path.getmtime(paths.manifest)
         except OSError:
             self.build_id = 0.0
+        # tombstones (deletes.py): masked inside the kernels when present
+        self.delete_epoch = int(manifest.get("delete_epoch", 0))
+        self.deletes_root = os.path.join(paths.root, "deletes")
+        self.has_deletes = int(manifest.get("n_deleted", 0)) > 0
         self.postings = spark.read.parquet(paths.postings)
         # the manifest is the source of truth for the live segment set:
         # orphan seg=K dirs (crash between a compaction's manifest commit
@@ -435,6 +455,8 @@ class SegmentSearcher:
         doclens_root = self.paths.doclens
         seg_meta = self.seg_meta
         build_id = self.build_id
+        del_root, del_epoch = self.deletes_root, self.delete_epoch
+        has_deletes = self.has_deletes
 
         def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
             seg = int(key[0])
@@ -449,7 +471,14 @@ class SegmentSearcher:
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}
                 )
             dl = _load_dl(doclens_root, seg, base, n, build_id)
-            return _maxscore_kernel(p, dl, base, n, tokenized, idf, avgdl, k, scale)
+            deleted = None
+            if has_deletes:
+                from mtix_spark.index.deletes import load_deleted
+
+                deleted = load_deleted(del_root, seg, del_epoch)
+            return _maxscore_kernel(
+                p, dl, base, n, tokenized, idf, avgdl, k, scale, deleted
+            )
 
         return postings.groupBy("seg").applyInPandas(
             kernel, "query_id long, doc_id long, score double"
@@ -504,6 +533,8 @@ class SegmentSearcher:
         doclens_root = self.paths.doclens
         seg_meta, seg_size = self.seg_meta, self.seg_size
         build_id = self.build_id
+        del_root, del_epoch = self.deletes_root, self.delete_epoch
+        has_deletes = self.has_deletes
 
         def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
             seg = int(key[0])
@@ -517,7 +548,12 @@ class SegmentSearcher:
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}
                 )
             dl = _load_dl(doclens_root, seg, base, n, build_id)
-            return _conjunctive_kernel(p, dl, base, live, idf, avgdl)
+            deleted = None
+            if has_deletes:
+                from mtix_spark.index.deletes import load_deleted
+
+                deleted = load_deleted(del_root, seg, del_epoch)
+            return _conjunctive_kernel(p, dl, base, live, idf, avgdl, deleted)
 
         per_seg = postings.groupBy("seg").applyInPandas(
             kernel, "query_id long, doc_id long, score double"
@@ -599,6 +635,31 @@ class MergedSearcher:
         self.merged_dir = os.path.join(paths.root, "merged")
         self._terms: dict[str, tuple | None] = {}
         self._dl: np.ndarray | None = None
+        from mtix_spark.index.build import read_manifest
+
+        man = read_manifest(paths)
+        self._has_deletes = int(man.get("n_deleted", 0)) > 0
+        self._deleted: np.ndarray | None = None
+
+    def _ensure_deleted(self) -> np.ndarray:
+        """Global tombstone set (union over segments), loaded once."""
+        if self._deleted is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            parts = []
+            for f in glob.glob(
+                os.path.join(self.paths.root, "deletes", "seg=*", "*.parquet")
+            ):
+                parts.append(pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy())
+            self._deleted = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            ).astype(np.int64)
+        return self._deleted
 
     def _ensure_dl(self) -> np.ndarray:
         if self._dl is None:
@@ -629,11 +690,16 @@ class MergedSearcher:
             .collect()
         )
         for r in rows:
-            self._terms[r["term"]] = (
-                delta_decode(r["doc_ids_bin"]).astype(np.int64),
-                decode_varint(r["tfs_bin"]).astype(np.float64),
-                int(r["df"]),
-            )
+            ids = delta_decode(r["doc_ids_bin"]).astype(np.int64)
+            tfs = decode_varint(r["tfs_bin"]).astype(np.float64)
+            if self._has_deletes:
+                from mtix_spark.index.deletes import mask_deleted
+
+                keep = mask_deleted(ids, self._ensure_deleted())
+                ids, tfs = ids[keep], tfs[keep]
+            # df stays the BUILD-time document frequency until a purge
+            # (Lucene deletes semantics — scores use stale stats)
+            self._terms[r["term"]] = (ids, tfs, int(r["df"]))
 
     def search(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
         import re
