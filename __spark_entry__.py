@@ -203,6 +203,112 @@ def q_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_over_documents(spark, sf_dir, mode="merged")
 
 
+BM25F_FIELDS = {"text": 1.0, "source": 3.0}
+BM25F_QUERIES = [
+    (1, "hash join src1"),
+    (2, "table scan src4"),
+    (3, "merge batch"),
+    (4, "src9 value"),
+]
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F over (text, source): weighted field tf combined
+    BEFORE saturation (see mtix_spark.index.search.bm25f_topk)."""
+    from mtix_spark.index.search import bm25f_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25F_QUERIES, "query_id long, text string")
+    out = bm25f_topk(docs, BM25F_FIELDS, qdf, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _bm25f_oracle() -> str:
+    toks_text = TOK.format(c="text")
+    toks_src = TOK.format(c="source")
+    w_text, w_src = BM25F_FIELDS["text"], BM25F_FIELDS["source"]
+    vals = ", ".join(
+        f"({q}, '{t}')"
+        for q, text in BM25F_QUERIES
+        for t in sorted({x for x in re.split("[^a-z0-9_]+", text.lower()) if x})
+    )
+    return f"""
+WITH f1 AS (
+  SELECT doc_id, term, count(*) * {w_text} AS wtf
+  FROM (SELECT doc_id, unnest({toks_text}) AS term FROM documents) GROUP BY 1, 2
+),
+f2 AS (
+  SELECT doc_id, term, count(*) * {w_src} AS wtf
+  FROM (SELECT doc_id, unnest({toks_src}) AS term FROM documents) GROUP BY 1, 2
+),
+ctf AS (
+  SELECT doc_id, term, sum(wtf) AS ctf
+  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) GROUP BY 1, 2
+),
+cdl AS (
+  SELECT doc_id,
+         len({toks_text}) * {w_text} + len({toks_src}) * {w_src} AS cdl
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(cdl) FROM cdl) AS avgdl
+),
+q(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM ctf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, ctf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (ctf.ctf * 2.2)
+           / (ctf.ctf + 1.2 * (1.0 - 0.75 + 0.75 * cdl.cdl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN ctf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN cdl ON cdl.doc_id = ctf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-query lang distribution of the BM25 top-k —
+    the index result re-entering relational analytics (one broadcast-able
+    join of k×queries rows against the docs table)."""
+    topk = _bm25_over_documents(spark, sf_dir, mode="brute")
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        topk.join(docs, "doc_id")
+        .groupBy("query_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("score"), 6).alias("score_mass"),
+        )
+    )
+
+
+def _facet_oracle() -> str:
+    return f"""
+WITH base AS ({_bm25_oracle()})
+SELECT query_id, lang, count(*)::BIGINT AS n,
+       round(sum(score), 6) AS score_mass
+FROM base JOIN documents USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 DELETED_ORIG_IDS = [2, 5, 11, 17, 23, 40]
 
 
@@ -1298,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_deleted_topk": q_bm25_deleted_topk,
+        "bm25_facets": q_bm25_facets,
+        "bm25f_topk": q_bm25f_topk,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -1534,6 +1642,8 @@ GROUP BY 1
 """,
         "bm25_and_topk": _bm25_oracle(conjunctive=True),
         "bm25_deleted_topk": _bm25_oracle(exclude=DELETED_ORIG_IDS),
+        "bm25_facets": _facet_oracle(),
+        "bm25f_topk": _bm25f_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

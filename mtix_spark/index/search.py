@@ -240,6 +240,88 @@ def _maxscore_kernel(
     return pd.DataFrame(out)
 
 
+def bm25f_topk(
+    docs: DataFrame,
+    fields: dict[str, float],
+    queries: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-field BM25F top-k (simple BM25F, Robertson & Zaragoza): field
+    term frequencies combine linearly BEFORE saturation —
+        ctf(t,d) = Σ_f w_f · tf_f(t,d),   cdl(d) = Σ_f w_f · dl_f(d)
+        score    = Σ_t idf(t) · ctf·(k1+1) / (ctf + k1·(1-b+b·cdl/avgdl))
+    with idf over docs containing t in ANY field. This is NOT equivalent to
+    concatenating fields (weights change saturation) nor to summing
+    per-field BM25 (that over-saturates) — the combine must happen inside
+    the kernel, which is why it's a distinct operator.
+
+    All Catalyst: per-field tokenize+explode partials union into one
+    (term, doc, ctf) aggregation — a single shuffle keyed (term, doc);
+    everything else is broadcast-sized. At a physical-index scale this maps
+    to per-field posting lists combined term-at-a-time in the segment
+    kernel; the relational form is the oracle twin and the v1 path.
+
+    Returns (query_id, rank, doc_id, score); ties (score DESC, doc ASC);
+    scores rounded to SCORE_DECIMALS.
+    """
+    qt = query_terms(queries)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+
+    parts = []
+    dl_parts = []
+    for f_col, w in fields.items():
+        toks = tokenize(F.col(f_col))
+        parts.append(
+            docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg((F.count(F.lit(1)) * F.lit(float(w))).alias("wtf"))
+        )
+        dl_parts.append(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                (F.size(toks) * F.lit(float(w))).alias("wdl"),
+            )
+        )
+    tf = parts[0]
+    for p in parts[1:]:
+        tf = tf.unionByName(p)
+    ctf = tf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("ctf"))
+    dl = dl_parts[0]
+    for p in dl_parts[1:]:
+        dl = dl.unionByName(p)
+    cdl = dl.groupBy("doc_id").agg(F.sum("wdl").alias("cdl"))
+
+    n_docs = docs.count()
+    avgdl = cdl.agg(F.avg("cdl")).collect()[0][0]
+
+    hits = ctf.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    dfreq = (
+        ctf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(cdl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("ctf") * (K1 + 1.0))
+            / (F.col("ctf") + K1 * (1.0 - B + B * F.col("cdl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_conjunctive_brute(
     tf: DataFrame,
     doclens: DataFrame,

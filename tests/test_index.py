@@ -314,3 +314,24 @@ def test_conjunctive_engine_matches_brute(spark, small_docs, small_index):
             .collect()
         )
         assert all(r["nt"] == len(terms) for r in member)
+
+
+def test_bm25f_field_weighting(spark):
+    """BM25F: a term hit in a heavily-weighted short field outranks the
+    same term buried in the long field; combine happens before saturation
+    (summing per-field BM25 scores would give a different total)."""
+    from mtix_spark.index.search import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha " + "filler " * 50, "other"),
+            (1, "beta " + "filler " * 50, "alpha"),  # alpha in title-ish field
+            (2, "gamma delta", "other"),
+        ],
+        "doc_id long, body string, title string",
+    )
+    qdf = spark.createDataFrame([(1, "alpha")], "query_id long, text string")
+    out = bm25f_topk(docs, {"body": 1.0, "title": 5.0}, qdf, k=10).collect()
+    ranked = [(r["rank"], r["doc_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0][1] == 1  # title hit (w=5) beats body hit (w=1)
+    assert {d for _, d in ranked} == {0, 1}
