@@ -711,6 +711,61 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components: MinHash-LSH pairs → canonical
+    cluster ids (keep cluster_id == doc_id; drop the rest)."""
+    from mtix_spark.dedup import dedup_clusters
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    return dedup_clusters(docs, pairs)
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of the corpus (hash-keyed —
+    identical sample on every run at any parallelism)."""
+    from mtix_spark.sampling import stratified_hash_sample
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, SAMPLE_RATES, stratum_col="lang", key_col="doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_oracle() -> str:
+    from mtix_spark.sampling import BUCKETS
+
+    whens = " ".join(
+        f"WHEN lang = '{v}' THEN {int(r * BUCKETS)}"
+        for v, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT AS BIGINT) % {BUCKETS}
+      < (CASE {whens} ELSE {int(0.1 * BUCKETS)} END)
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.15)
 
@@ -1381,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1493,6 +1550,8 @@ FROM documents GROUP BY 1
 """,
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "knn_cosine": _knn_oracle(),

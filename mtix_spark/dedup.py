@@ -413,6 +413,56 @@ def _verify_pairs_join(cand: DataFrame, toks: DataFrame, threshold: float) -> Da
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → canonical cluster
+    ids: (id, cluster_id = min doc id reachable through near-dup edges).
+    This is the step every dedup pipeline runs after candidate
+    verification — pairs alone don't say which docs to drop; components do
+    (keep cluster_id == id, drop the rest).
+
+    Iterative min-label propagation, pure DataFrame joins: each round every
+    node takes the min label among itself and its neighbors; converged when
+    no label changes. Rounds ≈ graph diameter — near-dup clusters are dense
+    (a dup cluster is near-cliquish), so this terminates in a handful of
+    rounds; `localCheckpoint` truncates the growing plan each round. At
+    10¹²-node scale the same loop runs with the large-star/small-star
+    optimization (alternating propagation shapes gives O(log n) rounds);
+    the fixpoint semantics — and this oracle-checked result — are
+    identical.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.persist()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 32-bit SimHash over tf-weighted token hashes.
 

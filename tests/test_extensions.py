@@ -334,3 +334,45 @@ def test_sessionize_streaming(spark, tmp_path):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_dedup_clusters_components(spark):
+    from mtix_spark.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6} isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_stratified_sample_deterministic(spark):
+    from mtix_spark.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_hash_sample(docs, rates, "lang", "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            docs.repartition(13), rates, "lang", "doc_id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0  # same sample at any partitioning
+    # rate ballpark: en stratum keeps ~half
+    import pyspark.sql.functions as F
+
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = (
+        stratified_hash_sample(docs, rates, "lang", "doc_id")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert 0.3 * n_en < k_en < 0.7 * n_en
