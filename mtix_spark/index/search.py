@@ -442,6 +442,10 @@ class SegmentSearcher:
     read with locality, the Lucene-style per-segment file access pattern).
     This is the latency path behind the p95 target (BASELINE.json:metric);
     the one-shot wrapper `bm25_topk_segments` skips dictionary persistence.
+
+    A handle is a SNAPSHOT of the index at construction (Lucene
+    IndexReader semantics): segment set, stats, and tombstone epoch are
+    read once — reopen a new handle to observe later deletes/compactions.
     """
 
     def __init__(self, spark: SparkSession, paths: IndexPaths, persist: bool = True):
@@ -645,6 +649,98 @@ class SegmentSearcher:
             per_seg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def search_warm(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+        """Serving-path variant: term posting rows are fetched ONCE per
+        cold term (one Spark job with the IN-filter pushed to the scan) and
+        cached on the handle; warm queries then run the SAME per-segment
+        kernels driver-side — zero Spark jobs, single-digit-ms latency.
+        This is the query-node architecture (a node holds its hot shard in
+        memory); results are row-identical to `search()` (same kernels,
+        same tie-break, same tombstone masks — tested).
+
+        Cache footprint is only the terms this handle has served (never the
+        vocabulary); doc lengths load per segment through the same
+        `_DL_CACHE` the executors use."""
+        tokenized = self._tokenize_queries(queries)
+        all_terms = sorted({t for _, ts in tokenized for t in ts})
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64",
+                  "score": "float64"})
+        if not all_terms:
+            return empty
+        missing = [t for t in all_terms if t not in self._df_cache]
+        if missing:
+            for t in missing:
+                self._df_cache[t] = 0
+            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                self._df_cache[r["term"]] = r["df"]
+        idf = {
+            t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            for t in all_terms
+            if (df := self._df_cache[t]) > 0
+        }
+        if not idf:
+            return empty
+        if not hasattr(self, "_warm_rows"):
+            self._warm_rows: dict[str, list] = {}
+        cold = [t for t in idf if t not in self._warm_rows]
+        if cold:
+            for t in cold:
+                self._warm_rows[t] = []
+            for r in (
+                self.postings.filter(F.col("term").isin(cold))
+                .select("term", "seg", "doc_ids_bin", "tfs_bin", "block_max_wtf")
+                .collect()
+            ):
+                self._warm_rows[r["term"]].append(r)
+        by_seg: dict[int, list] = {}
+        for t in idf:
+            for r in self._warm_rows[t]:
+                by_seg.setdefault(int(r["seg"]), []).append(r)
+        parts = []
+        for seg, rows in sorted(by_seg.items()):
+            if seg in self.seg_meta:
+                base, n, scale = self.seg_meta[seg]
+            else:
+                base = seg * self.seg_size
+                n = min(self.seg_size, self.n_docs - base)
+                scale = 1.0
+            dl = _load_dl(self.paths.doclens, seg, base, n, self.build_id)
+            deleted = None
+            if self.has_deletes:
+                from mtix_spark.index.deletes import load_deleted
+
+                deleted = load_deleted(self.deletes_root, seg, self.delete_epoch)
+            p = pd.DataFrame(
+                {
+                    "term": [r["term"] for r in rows],
+                    "doc_ids_bin": [r["doc_ids_bin"] for r in rows],
+                    "tfs_bin": [r["tfs_bin"] for r in rows],
+                    "block_max_wtf": [r["block_max_wtf"] for r in rows],
+                }
+            )
+            parts.append(
+                _maxscore_kernel(
+                    p, dl, base, n, tokenized, idf, self.avgdl, k, scale, deleted
+                )
+            )
+        if not parts:
+            return empty
+        pdf = pd.concat(parts, ignore_index=True)
+        if not len(pdf):
+            return empty
+        pdf = pdf.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+        return pdf[["query_id", "rank", "doc_id", "score"]].astype(
+            {"query_id": "int64", "rank": "int64", "doc_id": "int64",
+             "score": "float64"}
         )
 
     def search_topk(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:

@@ -335,3 +335,30 @@ def test_bm25f_field_weighting(spark):
     ranked = [(r["rank"], r["doc_id"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked[0][1] == 1  # title hit (w=5) beats body hit (w=1)
     assert {d for _, d in ranked} == {0, 1}
+
+
+def test_search_warm_matches_search(spark, small_docs, small_index):
+    """Driver-side warm path: row-identical to the distributed path, with
+    and without tombstones; warm repeat runs with zero Spark jobs."""
+    from mtix_spark.index.deletes import delete_docs
+    from mtix_spark.index.search import SegmentSearcher
+
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 10).collect()]
+    queries += [(900, "zz_oov_zz"), (901, "")]
+    s = SegmentSearcher(spark, small_index, persist=False)
+    a = _rows(s.search(queries, k=25))
+    b = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 4))
+        for r in s.search_warm(queries, k=25).itertuples()
+    )
+    assert a == b
+    # tombstones respected on a fresh handle (epoch bump invalidates)
+    victims = sorted({d for _, r, d, _ in a if r == 1})
+    delete_docs(spark, small_index, victims)
+    s2 = SegmentSearcher(spark, small_index, persist=False)
+    w = s2.search_warm(queries, k=25)
+    assert not w["doc_id"].isin(victims).any()
+    assert _rows(s2.search(queries, k=25)) == sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 4))
+        for r in w.itertuples()
+    )
