@@ -465,6 +465,109 @@ WITH toks AS (
 """
 
 
+BOOL_QUERIES = [
+    (1, "hash +join -slow"),
+    (2, '"table hash" scan'),
+    (3, "merge +value -batch"),
+    (4, 'part -"part filter" filter'),
+]
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean query language: +must, -not, \"phrase\" filters
+    over BM25 scoring (mtix_spark.query.boolean_search)."""
+    from mtix_spark.query import boolean_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, q in BOOL_QUERIES:
+        outs.append(
+            boolean_search(docs, q, k=TOPK).select(
+                F.lit(qid).cast("long").alias("query_id"), "rank", "doc_id", "score"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _boolean_oracle() -> str:
+    from mtix_spark.query import parse_query
+
+    toks = TOK.format(c="text")
+    qvals = []
+    branches = []
+    for qid, q in BOOL_QUERIES:
+        bq = parse_query(q)
+        for t in bq.scoring_terms:
+            qvals.append(f"({qid}, '{t}')")
+        conds = [f"query_id = {qid}"]
+        for t in sorted(set(bq.must)):
+            conds.append(
+                f"EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id AND x.term = '{t}')"
+            )
+        for t in sorted(set(bq.must_not)):
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = s.doc_id AND x.term = '{t}')"
+            )
+
+        def phrase_exists(words: list[str]) -> str:
+            joins = " ".join(
+                f"JOIN stream t{j} ON t{j}.doc_id = t0.doc_id "
+                f"AND t{j}.pos = t0.pos + {j} AND t{j}.term = '{w}'"
+                for j, w in enumerate(words[1:], start=1)
+            )
+            return (
+                f"(SELECT 1 FROM stream t0 {joins} "
+                f"WHERE t0.doc_id = s.doc_id AND t0.term = '{words[0]}')"
+            )
+
+        for ph in bq.phrases:
+            conds.append(f"EXISTS {phrase_exists(ph)}")
+        for ph in bq.not_phrases:
+            conds.append(f"NOT EXISTS {phrase_exists(ph)}")
+        branches.append("(" + " AND ".join(conds) + ")")
+    return f"""
+WITH toklists AS (SELECT doc_id, {toks} AS l FROM documents),
+stream AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM toklists
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stream GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM toklists),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+q(query_id, term) AS (VALUES {', '.join(qvals)}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored s
+  WHERE {' OR '.join(branches)}
+) WHERE rank <= {TOPK}
+"""
+
+
 SNIPPET_WINDOW = 2
 
 
@@ -1463,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_deleted_topk": q_bm25_deleted_topk,
         "bm25_facets": q_bm25_facets,
         "bm25f_topk": q_bm25f_topk,
+        "boolean_search": q_boolean_search,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -1703,6 +1807,7 @@ GROUP BY 1
         "bm25_deleted_topk": _bm25_oracle(exclude=DELETED_ORIG_IDS),
         "bm25_facets": _facet_oracle(),
         "bm25f_topk": _bm25f_oracle(),
+        "boolean_search": _boolean_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),
