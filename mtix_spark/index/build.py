@@ -607,6 +607,39 @@ def _merge_stream(with_salt: bool):
     return kernel
 
 
+def index_stats(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Index introspection: one row per live segment from the manifest
+    (lineage source, doc range, doc/token/posting counts, compressed
+    bytes-per-posting, build wall) — the operational view an index admin
+    reads before deciding to compact or purge. Pure manifest read, no scan.
+    """
+    man = read_manifest(paths)
+    rows = []
+    for sid, m in sorted(man["segments"].items(), key=lambda kv: int(kv[0])):
+        postings = m.get("postings")
+        cbytes = m.get("compressed_bytes")
+        rows.append(
+            (
+                int(sid),
+                str(m.get("lineage", {}).get("source", "?")),
+                int(m["min_doc"]),
+                int(m["max_doc"]),
+                int(m.get("n_docs", 0)),
+                int(m.get("tokens", 0)),
+                int(postings) if postings is not None else None,
+                round(cbytes / postings, 3)
+                if cbytes is not None and postings
+                else None,
+                float(m.get("build_wall_ms", 0.0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "seg int, source string, min_doc long, max_doc long, n_docs long, "
+        "tokens long, postings long, bytes_per_posting double, build_wall_ms double",
+    )
+
+
 def merge_postings(
     spark: SparkSession,
     paths: IndexPaths,

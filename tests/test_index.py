@@ -362,3 +362,13 @@ def test_search_warm_matches_search(spark, small_docs, small_index):
         (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 4))
         for r in w.itertuples()
     )
+
+
+def test_index_stats(spark, small_index):
+    from mtix_spark.index.build import index_stats
+
+    rows = index_stats(spark, small_index).collect()
+    assert len(rows) == 6
+    assert sum(r["n_docs"] for r in rows) == 1000
+    assert all(r["source"] == "docs" for r in rows)
+    assert all(r["bytes_per_posting"] and r["bytes_per_posting"] < 10 for r in rows)
