@@ -43,3 +43,50 @@ def test_sizes_partition_the_stream(values):
     for i, v in enumerate(values):
         piece = buf[off[i] : off[i + 1]]
         assert list(decode_varint(piece)) == [v]
+
+
+@given(
+    st.dictionaries(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),          # term
+            st.integers(min_value=0, max_value=500),        # doc_id
+        ),
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=20),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positional_segment_roundtrip(cells):
+    """_build_segment_positions encodes arbitrary (term, doc, positions)
+    cells so that ids/counts/positions decode back exactly (positions
+    sorted-unique per cell, the tokenizer invariant)."""
+    import pandas as pd
+
+    from mtix_spark.index.codec import decode_varint, delta_decode
+    from mtix_spark.index.positions import _build_segment_positions, _reanchor
+
+    rows = {
+        "term": [], "doc_id": [], "positions": [], "seg": [],
+    }
+    want = {}
+    for (term, doc), pos in cells.items():
+        p = sorted(set(pos))
+        rows["term"].append(term)
+        rows["doc_id"].append(doc)
+        rows["positions"].append(np.array(p, dtype=np.int32))
+        rows["seg"].append(0)
+        want[(term, doc)] = p
+    out = _build_segment_positions(pd.DataFrame(rows))
+    got = {}
+    for r in out.itertuples(index=False):
+        ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+        counts = decode_varint(r.pos_counts_bin).astype(np.int64)
+        pdel = decode_varint(r.positions_bin).astype(np.int64)
+        offs = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pos = _reanchor(pdel, offs)
+        assert list(ids) == sorted(ids)  # ascending doc ids per term
+        for i, d in enumerate(ids):
+            got[(r.term, int(d))] = list(pos[offs[i] : offs[i + 1]])
+    assert got == want
