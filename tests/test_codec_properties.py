@@ -90,3 +90,73 @@ def test_positional_segment_roundtrip(cells):
         for i, d in enumerate(ids):
             got[(r.term, int(d))] = list(pos[offs[i] : offs[i + 1]])
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["t1", "t2", "t3"]),
+            st.integers(min_value=0, max_value=3),  # fragment index → doc range
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=5),  # batch split size
+)
+@settings(max_examples=60, deadline=None)
+def test_merge_stream_kernel_batch_boundaries(frags, batch_size):
+    """_merge_stream must produce identical results however the Arrow
+    batches split the sorted fragment stream (a term's fragments routinely
+    straddle batch boundaries)."""
+    import pandas as pd
+
+    from mtix_spark.index.build import BLOCK_SIZE, _merge_stream
+    from mtix_spark.index.codec import (
+        decode_varint,
+        delta_decode,
+        delta_encode,
+        encode_varint,
+    )
+
+    rows = []
+    for term, fi in sorted(frags, key=lambda x: (x[0], x[1])):
+        base = fi * 100
+        ids = np.array([base, base + 3, base + 7], dtype=np.uint64)
+        tfs = np.array([1, 2, 3], dtype=np.uint64)
+        rows.append(
+            {
+                "term": term,
+                "cf_seg": 6,
+                "doc_ids_bin": delta_encode(ids),
+                "tfs_bin": encode_varint(tfs),
+                "max_tf": 3,
+                "block_max_wtf": np.array([1.0], dtype=np.float32),
+                "min_doc": int(ids[0]),
+                "max_doc": int(ids[-1]),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+
+    def run(batches):
+        out = list(_merge_stream(with_salt=False)(iter(batches)))
+        got = {}
+        for o in out:
+            for r in o.itertuples(index=False):
+                got[r.term] = (
+                    list(delta_decode(r.doc_ids_bin)),
+                    list(decode_varint(r.tfs_bin)),
+                    int(r.df),
+                    int(r.cf),
+                )
+        return got
+
+    whole = run([pdf])
+    split = run([pdf.iloc[i : i + batch_size] for i in range(0, len(pdf), batch_size)])
+    assert whole == split
+    # and the merged stream is the ordered concat of the term's fragments
+    for term in {t for t, _ in frags}:
+        ids = [i for t, fi in sorted(frags) if t == term for i in
+               (fi * 100, fi * 100 + 3, fi * 100 + 7)]
+        assert whole[term][0] == ids
+        assert whole[term][2] == len(ids)
