@@ -470,6 +470,8 @@ BOOL_QUERIES = [
     (2, '"table hash" scan'),
     (3, "merge +value -batch"),
     (4, 'part -"part filter" filter'),
+    (5, "table hash lang:en"),
+    (6, "scan value -lang:en +table"),
 ]
 
 
@@ -527,6 +529,12 @@ def _boolean_oracle() -> str:
             conds.append(f"EXISTS {phrase_exists(ph)}")
         for ph in bq.not_phrases:
             conds.append(f"NOT EXISTS {phrase_exists(ph)}")
+        for col, value, neg in bq.filters:
+            ex = (
+                f"EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = s.doc_id "
+                f"AND d.{col}::VARCHAR = '{value}')"
+            )
+            conds.append(f"NOT {ex}" if neg else ex)
         branches.append("(" + " AND ".join(conds) + ")")
     return f"""
 WITH toklists AS (SELECT doc_id, {toks} AS l FROM documents),

@@ -9,6 +9,9 @@ that composes the ranking and filtering primitives:
   - "a b c"       → PHRASE filter: doc must contain the exact token
                     sequence; its terms also score (+"..." is the same;
                     -"..." excludes docs containing the phrase)
+  - col:value     → metadata filter on a non-text column (e.g. lang:en);
+                    -col:value negates. Non-scoring, applied as a plain
+                    pushdown predicate on the docs relation.
 
 Scoring: standard BM25 summed over the SHOULD + MUST + phrase terms of the
 query (deduplicated). Filters are set-semantics on top — exactly Lucene's
@@ -45,6 +48,7 @@ class BoolQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     not_phrases: list[list[str]] = field(default_factory=list)
+    filters: list[tuple[str, str, bool]] = field(default_factory=list)  # (col, value, negated)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -72,7 +76,12 @@ def parse_query(q: str) -> BoolQuery:
             else:
                 bq.phrases.append(words)
         else:
-            words = _toks(m.group(4))
+            raw = m.group(4)
+            if ":" in raw and not raw.startswith(":") and not raw.endswith(":"):
+                col, value = raw.split(":", 1)
+                bq.filters.append((col, value, m.group(3) == "-"))
+                continue
+            words = _toks(raw)
             if not words:
                 continue
             # a multi-token clause like c++ or foo.bar splits; the prefix
@@ -104,6 +113,15 @@ def boolean_search(
     empty = spark.createDataFrame([], "rank long, doc_id long, score double")
     if not terms:
         return empty
+    # metadata filters restrict the DOCS relation itself (pushdown
+    # predicates) — they shape the candidate set, not corpus stats: df, N,
+    # and avgdl stay corpus-global so a filter never changes a doc's score,
+    # only whether it appears (the semantics a search engine's filter
+    # clause has)
+    filtered = docs
+    for col, value, neg in bq.filters:
+        cond = F.col(col).cast("string") == value
+        filtered = filtered.filter(~cond if neg else cond)
 
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
@@ -131,6 +149,11 @@ def boolean_search(
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
+
+    if bq.filters:
+        scored = scored.join(
+            filtered.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
 
     def term_docs(t: str) -> DataFrame:
         return tf.filter(F.col("term") == t).select("doc_id")

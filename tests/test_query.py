@@ -42,3 +42,36 @@ def test_boolean_search_semantics(spark):
     # ranking: doc 2 has tf(beta)=2 → ranks above single-tf docs for 'beta'
     top = boolean_search(docs, "beta", k=1).collect()[0]
     assert top["doc_id"] == 2
+
+
+def test_metadata_filters(spark):
+    from mtix_spark.query import parse_query
+
+    bq = parse_query("alpha lang:en -source:web +beta")
+    assert bq.filters == [("lang", "en", False), ("source", "web", True)]
+    assert bq.should == ["alpha"] and bq.must == ["beta"]
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en"),
+            (1, "alpha beta", "de"),
+            (2, "alpha", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from mtix_spark.query import boolean_search
+
+    got = {r["doc_id"] for r in boolean_search(docs, "alpha lang:en").collect()}
+    assert got == {0, 2}
+    got_rows = {
+        r["doc_id"]: r["score"]
+        for r in boolean_search(docs, "alpha lang:en").collect()
+    }
+    # filter must not change scores: same doc scores identically unfiltered
+    all_rows = {
+        r["doc_id"]: r["score"] for r in boolean_search(docs, "alpha").collect()
+    }
+    for d, s in got_rows.items():
+        assert s == all_rows[d]
+    got = {r["doc_id"] for r in boolean_search(docs, "alpha -lang:en").collect()}
+    assert got == {1}
