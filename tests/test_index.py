@@ -352,10 +352,19 @@ def test_search_warm_matches_search(spark, small_docs, small_index):
         for r in s.search_warm(queries, k=25).itertuples()
     )
     assert a == b
-    # tombstones respected on a fresh handle (epoch bump invalidates)
+    # tombstones respected on a fresh handle (epoch bump invalidates) —
+    # on a PRIVATE copy: small_index is session-scoped and later tests
+    # (e.g. phrase index vs relational twin) assume an undeleted corpus
+    import shutil
+    import tempfile
+
+    from mtix_spark.index.build import IndexPaths
+
+    priv = IndexPaths(tempfile.mkdtemp(prefix="mtix_delidx_") + "/index")
+    shutil.copytree(small_index.root, priv.root)
     victims = sorted({d for _, r, d, _ in a if r == 1})
-    delete_docs(spark, small_index, victims)
-    s2 = SegmentSearcher(spark, small_index, persist=False)
+    delete_docs(spark, priv, victims)
+    s2 = SegmentSearcher(spark, priv, persist=False)
     w = s2.search_warm(queries, k=25)
     assert not w["doc_id"].isin(victims).any()
     assert _rows(s2.search(queries, k=25)) == sorted(
