@@ -1524,6 +1524,213 @@ def q_query_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# multi-term expansion (wildcard / fuzzy), LM ranking, proximity
+# ---------------------------------------------------------------------------
+
+WILDCARD_PATTERNS = [
+    (1, "s*"),       # scan small slow sort spark stream
+    (2, "*er"),      # customer filter order
+    (3, "?a??"),     # data fast hash part
+    (4, "gr*up"),    # group
+]
+FUZZY_SOURCES = [
+    (1, "scann"),    # scan (del)
+    (2, "tble"),     # table (ins)
+    (3, "join"),     # exact + 1-edit neighbors
+    (4, "kei"),      # key (sub)
+    (5, "dups"),     # dup (del) — rare term
+]
+NEAR_PAIRS = [
+    (1, "hash", "join", 2),
+    (2, "table", "scan", 3),
+    (3, "merge", "batch", 1),
+    (4, "dup", "vector", 5),
+]
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard (prefix/infix) query expansion against the vocabulary, then
+    disjunctive BM25 with per-expanded-term idf (Lucene scoring rewrite)."""
+    from mtix_spark.expand import wildcard_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = wildcard_search(docs, WILDCARD_PATTERNS, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query: Levenshtein<=1 vocabulary expansion (threshold-bounded
+    builtin, length-band prefiltered), disjunctive BM25 over the matches."""
+    from mtix_spark.expand import fuzzy_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = fuzzy_search(docs, FUZZY_SOURCES, max_edits=1, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (mu=2000) — the
+    second scoring family over the same posting relations as BM25."""
+    from mtix_spark.index.search import lm_dirichlet_brute
+
+    docs = _tbl(spark, sf_dir, "documents")
+    tf = _docs_tf(docs)
+    dl = docs.select("doc_id", F.size(tokenize("text")).cast("double").alias("dl"))
+    total_tokens = int(dl.agg(F.sum("dl")).collect()[0][0])
+    qdf = spark.createDataFrame(FIXED_QUERIES, "query_id long, text string")
+    out = lm_dirichlet_brute(tf, dl, qdf, total_tokens, mu=2000.0, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/k) search: unordered within-window co-occurrence
+    counts per doc, per query pair — SpanNearQuery semantics over the
+    positional token stream."""
+    from mtix_spark.index.positions import near_match_relational
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, ta, tb, win in NEAR_PAIRS:
+        m = near_match_relational(docs, ta, tb, win, id_col="doc_id", text_col="text")
+        outs.append(
+            m.select(F.lit(qid).cast("long").alias("query_id"), "doc_id", "n_pairs")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _expanded_bm25_oracle(expansion_cte: str) -> str:
+    """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
+    BM25 with per-term idf over the expanded disjunction — the SQL twin of
+    mtix_spark.expand.expanded_bm25."""
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+vocab AS (SELECT DISTINCT term FROM tf),
+{expansion_cte},
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM exp) GROUP BY 1
+),
+scored AS (
+  SELECT e.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM (SELECT DISTINCT query_id, term FROM exp) e
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def _wildcard_oracle() -> str:
+    from mtix_spark.expand import wildcard_to_like
+
+    vals = ", ".join(f"({q}, '{wildcard_to_like(p)}')" for q, p in WILDCARD_PATTERNS)
+    cte = (
+        f"pats(query_id, pat) AS (VALUES {vals}),\n"
+        "exp AS (SELECT query_id, term FROM vocab JOIN pats ON term LIKE pat)"
+    )
+    return _expanded_bm25_oracle(cte)
+
+
+def _fuzzy_oracle() -> str:
+    vals = ", ".join(f"({q}, '{s}')" for q, s in FUZZY_SOURCES)
+    cte = (
+        f"src(query_id, s) AS (VALUES {vals}),\n"
+        "exp AS (SELECT query_id, term FROM vocab JOIN src"
+        " ON abs(len(term) - len(s)) <= 1 AND levenshtein(term, s) <= 1)"
+    )
+    return _expanded_bm25_oracle(cte)
+
+
+def _lm_oracle(mu: float = 2000.0) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (SELECT (SELECT sum(dl) FROM dl) AS c),
+q(query_id, term) AS (VALUES {vals}),
+cf AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+nq AS (
+  SELECT query_id, count(*)::DOUBLE AS n_q FROM q
+  WHERE term IN (SELECT term FROM cf) GROUP BY 1
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(m.match_part + nq.n_q * ln({mu} / (dl.dl + {mu})), 6) AS score
+  FROM (
+    SELECT q.query_id, tf.doc_id,
+           sum(ln(1.0 + tf.tf / ({mu} * cf.cf / s.c))) AS match_part
+    FROM q JOIN tf USING (term) JOIN cf USING (term) CROSS JOIN stats s
+    GROUP BY 1, 2
+  ) m
+  JOIN dl ON dl.doc_id = m.doc_id
+  JOIN nq ON nq.query_id = m.query_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def _near_oracle() -> str:
+    toks = TOK.format(c="text")
+    parts = []
+    for qid, ta, tb, win in NEAR_PAIRS:
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, a.doc_id, count(*)::BIGINT AS n_pairs\n"
+            f"FROM toks a JOIN toks b ON b.doc_id = a.doc_id\n"
+            f" AND abs(b.pos - a.pos) <= {win} AND b.pos <> a.pos\n"
+            f"WHERE a.term = '{ta}' AND b.term = '{tb}' GROUP BY 1, 2"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+)
+{body}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1575,6 +1782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facets": q_bm25_facets,
         "bm25f_topk": q_bm25f_topk,
         "boolean_search": q_boolean_search,
+        "wildcard_topk": q_wildcard_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "near_match": q_near_match,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -1816,6 +2027,10 @@ GROUP BY 1
         "bm25_facets": _facet_oracle(),
         "bm25f_topk": _bm25f_oracle(),
         "boolean_search": _boolean_oracle(),
+        "wildcard_topk": _wildcard_oracle(),
+        "fuzzy_topk": _fuzzy_oracle(),
+        "lm_dirichlet_topk": _lm_oracle(),
+        "near_match": _near_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -445,6 +445,54 @@ def phrase_snippets(
     )
 
 
+def near_match_relational(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    ordered: bool = False,
+) -> DataFrame:
+    """Proximity search (Lucene's SpanNearQuery / ``"a b"~k`` slop syntax):
+    docs where `term_a` and `term_b` occur within `window` token positions.
+    Returns (doc_id, n_pairs) with n_pairs = count of qualifying position
+    pairs (0 < p_b - p_a <= window if ordered, else 0 < |p_a - p_b| <=
+    window; identical positions are impossible for distinct terms and
+    excluded for safety).
+
+    Plan: the token stream posexplodes once; each side filters to ONE term
+    before the join (the relational twin of fetching two position posting
+    lists), so the join input is per-term positions, not the corpus — the
+    equi-join key is doc_id with a band predicate on positions, which AQE
+    handles as a plain shuffled join sized by the two posting lists. The
+    physical-index path would run the same band intersection inside the
+    positions-segment kernel; the relational form is the oracle twin
+    (DuckDB unnest + self-join, driver value-checked).
+    """
+    a = term_a.lower()
+    b = term_b.lower()
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    pa = stream.filter(F.col("term") == a).select("doc_id", F.col("pos").alias("pa"))
+    pb = stream.filter(F.col("term") == b).select(
+        F.col("doc_id").alias("d"), F.col("pos").alias("pb")
+    )
+    delta = F.col("pb") - F.col("pa")
+    band = (
+        (delta > 0) & (delta <= window)
+        if ordered
+        else (F.abs(delta) <= window) & (delta != 0)
+    )
+    return (
+        pa.join(pb, (pa["doc_id"] == pb["d"]) & band)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def phrase_match_relational(
     docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:

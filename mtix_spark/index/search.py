@@ -322,6 +322,79 @@ def bm25f_topk(
     )
 
 
+def lm_dirichlet_brute(
+    tf: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    total_tokens: int,
+    mu: float = 2000.0,
+    k: int = 100,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing — the standard
+    alternative scoring family to BM25 (Zhai & Lafferty 2001; Lucene's
+    LMDirichletSimilarity). Rank-equivalent decomposition that touches only
+    MATCHING postings (never the full corpus):
+
+        score(q, d) = SUM_{t in q, tf>0} ln(1 + tf / (mu * cf_t / C))
+                      + n_q * ln(mu / (dl + mu))
+
+    where cf_t = collection frequency of t, C = total corpus tokens, and
+    n_q = number of distinct query terms that occur in the corpus (terms
+    with cf=0 contribute nothing to any doc, so they drop from both sums).
+    Only docs matching >= 1 live query term are scored — same candidate
+    discipline as BM25 (the second term alone would score every doc).
+
+    Plan shape is identical to `bm25_brute`: pushed-down term IN-filter,
+    broadcast of the tiny (term, cf) and (query_id, term) relations, one
+    (query_id, doc_id) aggregation, global top-k. tf: (term, doc_id, tf);
+    doclens: (doc_id, dl). Returns (query_id, rank, doc_id, score) under
+    the engine tie-break, scores rounded to SCORE_DECIMALS.
+    """
+    qt = query_terms(queries)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    cf = (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    # n_q per query = live (cf>0) distinct terms; cf relation only holds
+    # terms that matched, so an inner join drops dead terms for free
+    nq = (
+        qt.join(F.broadcast(cf.select("term")), "term")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_q"))
+    )
+    hits = tf.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    scored = (
+        hits.join(F.broadcast(cf), "term")
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf") / (F.lit(mu) * F.col("cf") / F.lit(float(total_tokens)))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("match_part"))
+        .join(doclens, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("match_part")
+                + F.col("n_q") * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                SCORE_DECIMALS,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_conjunctive_brute(
     tf: DataFrame,
     doclens: DataFrame,

@@ -1,0 +1,164 @@
+"""Wildcard / fuzzy expansion, LM-Dirichlet ranking, proximity search."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtix_spark.expand import (
+    expand_fuzzy,
+    expand_wildcard,
+    fuzzy_search,
+    search_expanded_index,
+    wildcard_search,
+    wildcard_to_like,
+)
+from mtix_spark.index.positions import near_match_relational
+
+
+def _vocab(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "term string")
+
+
+def test_wildcard_to_like():
+    assert wildcard_to_like("pre*") == "pre%"
+    assert wildcard_to_like("?at") == "_at"
+    assert wildcard_to_like("a_b*") == r"a\_b%"
+
+
+def test_expand_wildcard(spark):
+    vocab = _vocab(spark, ["scan", "small", "slow", "table", "tab", "customer"])
+    got = {
+        (r["query_id"], r["term"])
+        for r in expand_wildcard(
+            vocab, [(1, "s*"), (2, "tab*"), (3, "?mall"), (4, "zz*")]
+        ).collect()
+    }
+    assert got == {
+        (1, "scan"), (1, "small"), (1, "slow"),
+        (2, "table"), (2, "tab"),
+        (3, "small"),
+    }
+
+
+def test_expand_fuzzy(spark):
+    vocab = _vocab(spark, ["scan", "scans", "scant", "plan", "table", "tble"])
+    got = {
+        (r["query_id"], r["term"])
+        for r in expand_fuzzy(vocab, [(1, "scan"), (2, "tble")], max_edits=1).collect()
+    }
+    # scan: itself + 1-insert neighbors; plan is 2 edits away
+    assert got == {
+        (1, "scan"), (1, "scans"), (1, "scant"),
+        (2, "tble"), (2, "table"),
+    }
+
+
+def test_wildcard_search_equals_explicit_terms(spark):
+    """A wildcard whose expansion is a known term set must score exactly as
+    the same terms given explicitly (disjunctive BM25, per-term idf)."""
+    from mtix_spark.expand import expanded_bm25
+
+    docs = spark.createDataFrame(
+        [
+            (0, "scan the table fast"),
+            (1, "slow scan of scan"),
+            (2, "nothing here at all"),
+            (3, "small slow"),
+        ],
+        "doc_id long, text string",
+    )
+    via_wild = wildcard_search(docs, [(1, "s*")], k=10).collect()
+    explicit = spark.createDataFrame(
+        [(1, t) for t in ["scan", "slow", "small"]], "query_id long, term string"
+    )
+    via_terms = expanded_bm25(docs, explicit, k=10).collect()
+    key = lambda rows: sorted((r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows)
+    assert key(via_wild) == key(via_terms)
+    assert len(via_wild) == 3  # doc 2 matches nothing
+
+
+def test_fuzzy_search_hits_misspelling(spark):
+    docs = spark.createDataFrame(
+        [(0, "merge the batch"), (1, "purge the batch"), (2, "other words")],
+        "doc_id long, text string",
+    )
+    out = fuzzy_search(docs, [(1, "merge")], max_edits=1, k=10).collect()
+    assert {r["doc_id"] for r in out} == {0}  # purge is 2 edits away
+    out2 = fuzzy_search(docs, [(1, "merge")], max_edits=2, k=10).collect()
+    assert {r["doc_id"] for r in out2} == {0, 1}
+
+
+def test_index_dictionary_expansion_matches_relational(spark, small_docs, small_index):
+    """Physical path: expand a prefix against the INDEX dictionary, run the
+    expanded terms through the MaxScore kernel — scores must equal the
+    relational wildcard search over the same corpus (dense ids match:
+    small_docs already carries the index's doc_ids)."""
+    from mtix_spark.index.search import SegmentSearcher
+
+    s = SegmentSearcher(spark, small_index, persist=False)
+    exp = expand_wildcard(s.dictionary, [(7, "get*")]).collect()
+    assert exp, "fixture vocabulary must contain get* terms"
+    terms = sorted({r["term"] for r in exp})
+    idx_res = search_expanded_index(s, [(7, terms)], k=30).collect()
+    rel = wildcard_search(
+        small_docs.select("doc_id", F.col("content").alias("text")),
+        [(7, "get*")],
+        k=30,
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows
+    )
+    assert key(idx_res) == key(rel)
+    s.close()
+
+
+def test_lm_dirichlet_ranks_by_likelihood(spark):
+    from mtix_spark.index.search import lm_dirichlet_brute
+
+    docs = [
+        (0, ["apple"] * 4 + ["pear"] * 4),     # tf=4, dl=8
+        (1, ["apple"] * 2 + ["plum"] * 2),     # tf=2, dl=4
+        (2, ["plum"] * 8),                     # no match
+    ]
+    rows = [(d, t, toks.count(t)) for d, toks in docs for t in set(toks)]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    dl = spark.createDataFrame(
+        [(d, float(len(toks))) for d, toks in docs], "doc_id long, dl double"
+    )
+    total = sum(len(toks) for _, toks in docs)
+    q = spark.createDataFrame([(1, "apple")], "query_id long, text string")
+    mu = 10.0
+    out = {r["doc_id"]: r["score"] for r in lm_dirichlet_brute(tf, dl, q, total, mu=mu, k=10).collect()}
+    assert set(out) == {0, 1}  # doc 2 never scores
+    cf = 6 / total
+    for d, tfv, dlv in [(0, 4, 8.0), (1, 2, 4.0)]:
+        expect = math.log(1 + tfv / (mu * cf)) + math.log(mu / (dlv + mu))
+        assert out[d] == pytest.approx(expect, abs=1e-6)
+
+
+def test_near_match_windows_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "hash x join"),        # distance 2
+            (1, "join hash"),          # distance 1, b before a
+            (2, "hash x y z join"),    # distance 4
+            (3, "hash join hash"),     # pairs at distance 1 and 1
+        ],
+        "doc_id long, text string",
+    )
+    un = {
+        (r["doc_id"], r["n_pairs"])
+        for r in near_match_relational(docs, "hash", "join", 2, text_col="text").collect()
+    }
+    assert un == {(0, 1), (1, 1), (3, 2)}
+    # ordered: only hash-before-join pairs count
+    od = {
+        (r["doc_id"], r["n_pairs"])
+        for r in near_match_relational(
+            docs, "hash", "join", 2, text_col="text", ordered=True
+        ).collect()
+    }
+    assert od == {(0, 1), (3, 1)}
