@@ -1608,10 +1608,76 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def _expanded_bm25_oracle(expansion_cte: str) -> str:
+MLT_SOURCE_IDS = [0, 7, 42]
+MLT_M = 6
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: top-m tf-idf terms of each source doc as a
+    disjunctive BM25 query, source doc excluded. query_id = source doc."""
+    from mtix_spark.expand import more_like_this
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = more_like_this(docs, MLT_SOURCE_IDS, m=MLT_M, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _mlt_oracle() -> str:
+    ids = ", ".join(str(i) for i in MLT_SOURCE_IDS)
+    cte = f"""dfa AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+src AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         round(tf.tf * ln(1.0 + (s.n - dfa.df + 0.5) / (dfa.df + 0.5)), 6) AS tfidf
+  FROM tf JOIN dfa USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id IN ({ids})
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY tfidf DESC, term) AS r
+    FROM src
+  ) WHERE r <= {MLT_M}
+)"""
+    return _expanded_bm25_oracle(cte, scored_where="WHERE tf.doc_id <> e.query_id")
+
+
+def q_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search via the PHYSICAL positional index (packed-position
+    searchsorted range counting) — shares q_near_match's oracle; the index
+    path and the SQL twin must agree row-for-row on (doc, pair count)."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.positions import build_positions, near_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_nidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    build_positions(spark, with_ids, paths)
+    res = near_topk(spark, paths, NEAR_PAIRS, k=1_000_000)  # full set
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "n_pairs")
+    )
+
+
+def _expanded_bm25_oracle(expansion_cte: str, scored_where: str = "") -> str:
     """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
     BM25 with per-term idf over the expanded disjunction — the SQL twin of
-    mtix_spark.expand.expanded_bm25."""
+    mtix_spark.expand.expanded_bm25. `scored_where` injects an optional
+    predicate into the scoring join (e.g. MLT self-exclusion)."""
     toks = TOK.format(c="text")
     return f"""
 WITH toks AS (
@@ -1641,6 +1707,7 @@ scored AS (
   JOIN dfreq d USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {scored_where}
   GROUP BY 1, 2
 )
 SELECT query_id, rank, doc_id, score FROM (
@@ -1786,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": q_fuzzy_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "near_match": q_near_match,
+        "near_index": q_near_index,
+        "more_like_this": q_more_like_this,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2031,6 +2100,8 @@ GROUP BY 1
         "fuzzy_topk": _fuzzy_oracle(),
         "lm_dirichlet_topk": _lm_oracle(),
         "near_match": _near_oracle(),
+        "near_index": _near_oracle(),
+        "more_like_this": _mlt_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -114,6 +114,7 @@ def expanded_bm25(
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_query_doc: bool = False,
 ) -> DataFrame:
     """Disjunctive BM25 over an (query_id, term) expansion relation.
 
@@ -156,11 +157,58 @@ def expanded_bm25(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
+    if exclude_query_doc:
+        # more-like-this mode: query_id IS a source doc id — never return it
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    source_ids: list[int],
+    m: int = 10,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """More-like-this (Lucene MoreLikeThis): for each source doc, select its
+    top-`m` terms by tf x idf (BM25 idf; tfidf rounded to SCORE_DECIMALS
+    before ranking so the ordering is reproducible across engines,
+    tie-break term ASC), then run those terms as a disjunctive BM25 query
+    excluding the source doc itself. query_id = source doc_id.
+
+    Plan shape: the term-selection side touches only the source docs' tf
+    rows (pushed doc_id IN-filter — |sources| x doclen rows); the scoring
+    side is the standard expanded-disjunction plan. At the physical layer
+    the source doc's term vector comes from the docmap/postings of one doc
+    — a single term-sharded fetch.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    src = (
+        tf.filter(F.col("doc_id").isin([int(i) for i in source_ids]))
+        .join(dfreq, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * idf, SCORE_DECIMALS))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    expansion = (
+        src.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= m)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return expanded_bm25(
+        docs, expansion, k, id_col, text_col, exclude_query_doc=True
     )
 
 

@@ -389,6 +389,138 @@ def phrase_topk(
     )
 
 
+def near_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[tuple[int, str, str, int]],
+    k: int = 100,
+    ordered: bool = False,
+) -> DataFrame:
+    """Proximity (NEAR/k) search over the positional index — the physical
+    twin of `near_match_relational` (same pair-count semantics, same
+    tie-break), sharing its oracle.
+
+    queries: (query_id, term_a, term_b, window). Returns (query_id, doc_id,
+    n_pairs), top-k per query by (n_pairs DESC, doc_id ASC).
+
+    Kernel: intersect the two terms' doc lists, pack both position sets as
+    (cand_rank << 22 | pos), then count in-window pairs with two
+    np.searchsorted range queries per packed element of the b side — one
+    vectorized pass per (query, segment), never a per-doc loop. The packed
+    range [pos_b - w, pos_b + w] is clamped to the rank block at 0; the
+    upper side inherits the positional index's existing positions < 2^22
+    bound (same constraint as the phrase chain). Tombstones mask at decode
+    time, as everywhere.
+    """
+    live_qs = [
+        (qid, a.lower(), b.lower(), int(w)) for qid, a, b, w in queries if w >= 1
+    ]
+    empty = spark.createDataFrame([], "query_id long, doc_id long, n_pairs long")
+    if not live_qs:
+        return empty
+    all_terms = sorted({t for _, a, b, _ in live_qs for t in (a, b)})
+
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
+    man = read_manifest(paths)
+    live = man.get("positions_segments")
+    if live:
+        rows = rows.filter(F.col("seg").isin(sorted(live)))
+    has_deletes = int(man.get("n_deleted", 0)) > 0
+    del_root = os.path.join(paths.root, "deletes")
+    del_epoch = int(man.get("delete_epoch", 0))
+
+    def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
+        deleted = None
+        if has_deletes:
+            from mtix_spark.index.deletes import load_deleted, mask_deleted
+
+            deleted = load_deleted(del_root, int(key[0]), del_epoch)
+        by_term = {}
+        for _, r in p.iterrows():
+            ids = delta_decode(r["doc_ids_bin"]).astype(np.int64)
+            counts = decode_varint(r["pos_counts_bin"]).astype(np.int64)
+            pdel = decode_varint(r["positions_bin"]).astype(np.int64)
+            offs = np.zeros(ids.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            pos = _reanchor(pdel, offs)
+            if deleted is not None and deleted.size:
+                keep = np.flatnonzero(mask_deleted(ids, deleted))
+                if keep.size != ids.size:
+                    pos = (
+                        np.concatenate([pos[offs[i] : offs[i + 1]] for i in keep])
+                        if keep.size
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    new_offs = np.zeros(keep.size + 1, dtype=np.int64)
+                    np.cumsum(counts[keep], out=new_offs[1:])
+                    ids, offs = ids[keep], new_offs
+            by_term[r["term"]] = (ids, offs, pos)
+
+        def packed(term, rows_idx):
+            ids_t, offs, pos = by_term[term]
+            lens = (offs[rows_idx + 1] - offs[rows_idx]).astype(np.int64)
+            rank = np.repeat(np.arange(rows_idx.size, dtype=np.int64), lens)
+            flat = (
+                np.concatenate([pos[offs[i] : offs[i + 1]] for i in rows_idx])
+                if rows_idx.size
+                else np.empty(0, np.int64)
+            )
+            return (rank << _POS_SHIFT) | flat, rank, flat
+
+        out = {"query_id": [], "doc_id": [], "n_pairs": []}
+        for qid, ta, tb, w in live_qs:
+            if ta not in by_term or tb not in by_term:
+                continue
+            cand, ia, ib = np.intersect1d(
+                by_term[ta][0], by_term[tb][0], assume_unique=True, return_indices=True
+            )
+            if cand.size == 0:
+                continue
+            pa, _, _ = packed(ta, ia)
+            pb, rank_b, pos_b = packed(tb, ib)
+            blk = rank_b << _POS_SHIFT
+            if ordered:
+                # pa in [pos_b - w, pos_b - 1]
+                valid = pos_b >= 1
+                lo = blk | np.maximum(pos_b - w, 0)
+                hi = blk | np.maximum(pos_b - 1, 0)
+                cnt = np.where(
+                    valid,
+                    np.searchsorted(pa, hi, "right") - np.searchsorted(pa, lo, "left"),
+                    0,
+                )
+            else:
+                lo = blk | np.maximum(pos_b - w, 0)
+                hi = blk | (pos_b + w)
+                cnt = np.searchsorted(pa, hi, "right") - np.searchsorted(pa, lo, "left")
+                # exclude identical positions (only arises when ta == tb)
+                if ta == tb:
+                    cnt -= np.searchsorted(pa, pb, "right") - np.searchsorted(
+                        pa, pb, "left"
+                    )
+            per_doc = np.bincount(rank_b, weights=cnt, minlength=cand.size).astype(
+                np.int64
+            )
+            nz = np.flatnonzero(per_doc)
+            out["query_id"].extend([qid] * nz.size)
+            out["doc_id"].extend(cand[nz].tolist())
+            out["n_pairs"].extend(per_doc[nz].tolist())
+        return pd.DataFrame(out).astype(
+            {"query_id": "int64", "doc_id": "int64", "n_pairs": "int64"}
+        )
+
+    per_seg = rows.groupBy("seg").applyInPandas(
+        kernel, "query_id long, doc_id long, n_pairs long"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("__r", F.row_number().over(w_))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def phrase_snippets(
     docs: DataFrame,
     phrase: str,

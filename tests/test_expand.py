@@ -139,6 +139,53 @@ def test_lm_dirichlet_ranks_by_likelihood(spark):
         assert out[d] == pytest.approx(expect, abs=1e-6)
 
 
+def test_more_like_this_excludes_source_and_selects_top_terms(spark):
+    from mtix_spark.expand import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare_a rare_a common common"),
+            (1, "rare_a common other"),
+            (2, "common common filler filler"),
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = more_like_this(docs, [0], m=1, k=10).collect()
+    # top tf-idf term of doc 0 is rare_a (tf=2, df=2) over common (tf=2, df=3)
+    got = {r["doc_id"] for r in out}
+    assert 0 not in got  # source excluded
+    assert got == {1}  # only doc 1 contains rare_a
+
+
+def test_near_index_matches_relational(spark, small_docs, small_index):
+    """Physical NEAR path (packed-position range counting over the
+    positional index) row-identical to the relational twin, both orders."""
+    from mtix_spark.index.positions import build_positions, near_topk
+
+    build_positions(spark, small_docs, small_index)
+    # pick two terms that co-occur: leading bigram of the first doc
+    row = small_docs.select("content").first()
+    import re
+
+    toks = [t for t in re.split("[^a-z0-9_]+", row["content"].lower()) if t]
+    ta, tb = toks[0], toks[1]
+    for ordered in (False, True):
+        idx = sorted(
+            (r["query_id"], r["doc_id"], r["n_pairs"])
+            for r in near_topk(
+                spark, small_index, [(1, ta, tb, 3)], k=10**6, ordered=ordered
+            ).collect()
+        )
+        rel = sorted(
+            (1, r["doc_id"], r["n_pairs"])
+            for r in near_match_relational(
+                small_docs, ta, tb, 3, text_col="content", ordered=ordered
+            ).collect()
+        )
+        assert idx == rel and idx
+
+
 def test_near_match_windows_and_order(spark):
     docs = spark.createDataFrame(
         [
