@@ -1608,6 +1608,52 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language executed over the PHYSICAL segment index
+    (pruning-disabled BM25 kernels + posting-set semi/anti joins + phrase
+    index + docmap metadata filters) — shares q_boolean_search's oracle."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.positions import build_positions
+    from mtix_spark.query import boolean_search_index
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_bidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    build_positions(spark, with_ids, paths)
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    outs = []
+    for qid, q in BOOL_QUERIES:
+        # tie margin: engine tie-breaks on dense ids, oracle on original ids
+        res = boolean_search_index(spark, paths, q, k=TOPK * 5)
+        remapped = (
+            res.withColumnRenamed("doc_id", "dense_id")
+            .join(docmap, "dense_id")
+            .select(F.col("orig_id").alias("doc_id"), "score")
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        outs.append(
+            remapped.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOPK)
+            .select(
+                F.lit(qid).cast("long").alias("query_id"), "rank", "doc_id", "score"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 MLT_SOURCE_IDS = [0, 7, 42]
 MLT_M = 6
 
@@ -1855,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match": q_near_match,
         "near_index": q_near_index,
         "more_like_this": q_more_like_this,
+        "boolean_index": q_boolean_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2102,6 +2149,7 @@ GROUP BY 1
         "near_match": _near_oracle(),
         "near_index": _near_oracle(),
         "more_like_this": _mlt_oracle(),
+        "boolean_index": _boolean_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -503,6 +503,32 @@ def _conjunctive_kernel(
     )
 
 
+def term_doc_ids(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> DataFrame:
+    """(term, doc_id) — decoded posting doc-id lists for a term set, the
+    building block for set-algebra filters (boolean MUST/MUST_NOT) over the
+    physical index. One parquet scan with the term IN-filter pushed down;
+    an Arrow-batched decode kernel explodes each varint cell. Tombstoned
+    docs are NOT masked here: filter joins run against the already-masked
+    scored relation, where a deleted doc can neither appear nor resurrect.
+    Rows are bounded by the terms' postings — never corpus-sized."""
+    from mtix_spark.index.build import read_manifest
+
+    rows = spark.read.parquet(paths.postings).filter(F.col("term").isin(sorted(set(terms))))
+    man = read_manifest(paths)
+    if man.get("segments"):
+        rows = rows.filter(F.col("seg").isin(sorted(int(s) for s in man["segments"])))
+
+    def kern(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids = delta_decode(r.doc_ids_bin).astype("int64")
+                yield pd.DataFrame({"term": r.term, "doc_id": ids})
+
+    return rows.select("term", "doc_ids_bin").mapInPandas(
+        kern, "term string, doc_id long"
+    )
+
+
 class SegmentSearcher:
     """Reusable query handle over a built index.
 

@@ -96,6 +96,78 @@ def parse_query(q: str) -> BoolQuery:
     return bq
 
 
+_NO_PRUNE_K = 1 << 31  # disables MaxScore candidate restriction in the kernel
+
+
+def boolean_search_index(spark, paths, query: str, k: int = 100) -> DataFrame:
+    """Execute one boolean query over the PHYSICAL segment index — the
+    engine path of `boolean_search` (same semantics, same tie-break,
+    shares its oracle through `__spark_entry__.py:boolean_index`).
+
+    Plan:
+      - scoring terms run through the per-segment BM25 kernels with
+        pruning DISABLED (k=2^31): filters remove docs AFTER accumulation,
+        so a pruned candidate could otherwise wrongly re-enter the top-k.
+        The candidate relation stays bounded by the scoring terms'
+        postings (docs matching >= 1 term), never corpus-sized.
+      - MUST/MUST_NOT terms become semi-/anti-joins against decoded
+        posting doc-id lists (`term_doc_ids` — one pushed-down scan).
+      - phrase clauses semi-/anti-join the positional index's match sets
+        (`phrase_topk`, tombstone-masked like every kernel).
+      - metadata filters join the docmap (the doc-store lookup) and apply
+        the predicate with identical null semantics to the relational
+        form.
+    Top-k cuts only after all filters. Scores/tie-break identical to the
+    relational path (tested + oracled).
+    """
+    from mtix_spark.index.positions import phrase_topk
+    from mtix_spark.index.search import SegmentSearcher, term_doc_ids
+
+    bq = parse_query(query)
+    terms = bq.scoring_terms
+    empty = spark.createDataFrame([], "rank long, doc_id long, score double")
+    if not terms:
+        return empty
+    searcher = SegmentSearcher(spark, paths, persist=False)
+    per_seg = searcher._per_segment([(0, " ".join(terms))], k=_NO_PRUNE_K)
+    if per_seg is None:
+        return empty
+    scored = per_seg.select("doc_id", "score")
+
+    need = sorted(set(bq.must) | set(bq.must_not))
+    if need:
+        td = term_doc_ids(spark, paths, need)
+        for t in sorted(set(bq.must)):
+            scored = scored.join(
+                td.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi"
+            )
+        for t in sorted(set(bq.must_not)):
+            scored = scored.join(
+                td.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_anti"
+            )
+    for ph in bq.phrases:
+        m = phrase_topk(spark, paths, [(0, " ".join(ph))], k=_NO_PRUNE_K)
+        scored = scored.join(m.select("doc_id"), "doc_id", "left_semi")
+    for ph in bq.not_phrases:
+        m = phrase_topk(spark, paths, [(0, " ".join(ph))], k=_NO_PRUNE_K)
+        scored = scored.join(m.select("doc_id"), "doc_id", "left_anti")
+    if bq.filters:
+        cols = sorted({c for c, _, _ in bq.filters})
+        meta = spark.read.parquet(paths.docmap).select("doc_id", *cols)
+        scored = scored.join(meta, "doc_id")
+        for col, value, neg in bq.filters:
+            cond = F.col(col).cast("string") == value
+            scored = scored.filter(~cond if neg else cond)
+        scored = scored.select("doc_id", "score")
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+
+
 def boolean_search(
     docs: DataFrame,
     query: str,

@@ -75,3 +75,36 @@ def test_metadata_filters(spark):
         assert s == all_rows[d]
     got = {r["doc_id"] for r in boolean_search(docs, "alpha -lang:en").collect()}
     assert got == {1}
+
+
+def test_boolean_index_matches_relational(spark, small_docs, small_index):
+    """Index-backed boolean execution row-identical to the relational path
+    on the shared fixture corpus (dense ids align — no remap needed)."""
+    import re
+
+    from mtix_spark.index.positions import build_positions
+    from mtix_spark.query import boolean_search, boolean_search_index
+
+    build_positions(spark, small_docs, small_index)
+    rows = small_docs.select("content").take(2)
+    toks = [t for t in re.split("[^a-z0-9_]+", rows[0]["content"].lower()) if t]
+    t0, t1, t2 = toks[0], toks[1], toks[2]
+    rel_docs = small_docs.select("doc_id", F.col("content").alias("text"), "lang")
+    queries = [
+        f"{t0} +{t1} -{t2}",
+        f'"{t0} {t1}" {t2}',
+        f"{t0} -\"{t1} {t2}\"",
+        f"{t0} {t1} lang:en",
+        f"{t0} -lang:en +{t1}",
+    ]
+    for q in queries:
+        rel = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in boolean_search(rel_docs, q, k=25).collect()
+        )
+        idx = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in boolean_search_index(spark, small_index, q, k=25).collect()
+        )
+        assert idx == rel, q
+    assert rel  # the last query matched something
