@@ -472,6 +472,8 @@ BOOL_QUERIES = [
     (4, 'part -"part filter" filter'),
     (5, "table hash lang:en"),
     (6, "scan value -lang:en +table"),
+    (7, "table^3 hash scan^0.5"),
+    (8, "+join^2 value -slow"),
 ]
 
 
@@ -503,7 +505,7 @@ def _boolean_oracle() -> str:
     for qid, q in BOOL_QUERIES:
         bq = parse_query(q)
         for t in bq.scoring_terms:
-            qvals.append(f"({qid}, '{t}')")
+            qvals.append(f"({qid}, '{t}', {bq.boosts.get(t, 1.0)})")
         conds = [f"query_id = {qid}"]
         for t in sorted(set(bq.must)):
             conds.append(
@@ -548,7 +550,7 @@ stats AS (
   SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
          (SELECT avg(dl) FROM dl) AS avgdl
 ),
-q(query_id, term) AS (VALUES {', '.join(qvals)}),
+q(query_id, term, boost) AS (VALUES {', '.join(qvals)}),
 dfreq AS (
   SELECT term, count(*)::BIGINT AS df FROM tf
   WHERE term IN (SELECT term FROM q) GROUP BY 1
@@ -556,7 +558,7 @@ dfreq AS (
 scored AS (
   SELECT q.query_id, tf.doc_id,
          round(sum(
-           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           q.boost * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
            * (tf.tf * 2.2)
            / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
          ), 6) AS score

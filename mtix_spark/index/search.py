@@ -615,9 +615,17 @@ class SegmentSearcher:
             for qid, text in queries
         ]
 
-    def _per_segment(self, queries: list[tuple[int, str]], k: int) -> DataFrame | None:
+    def _per_segment(
+        self,
+        queries: list[tuple[int, str]],
+        k: int,
+        term_weights: dict[str, float] | None = None,
+    ) -> DataFrame | None:
         """Per-segment candidate top-k frame, or None if no query term has
-        a positive idf (OOV/empty queries)."""
+        a positive idf (OOV/empty queries). `term_weights` multiplies a
+        term's idf (Lucene query-time boost `term^w`); boosted idf feeds
+        both the exact scores and the MaxScore upper bounds, so pruning
+        stays sound under boosts."""
         tokenized = self._tokenize_queries(queries)
         all_terms = sorted({t for _, ts in tokenized for t in ts})
         n_docs, avgdl, seg_size = self.n_docs, self.avgdl, self.seg_size
@@ -628,10 +636,11 @@ class SegmentSearcher:
                 self._df_cache[t] = 0
             for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
                 self._df_cache[r["term"]] = r["df"]
+        tw = term_weights or {}
         idf = {
-            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            t: tw.get(t, 1.0) * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             for t in all_terms
-            if (df := self._df_cache[t]) > 0
+            if (df := self._df_cache[t]) > 0 and tw.get(t, 1.0) != 0.0
         }
         if not idf:
             return None

@@ -49,6 +49,7 @@ class BoolQuery:
     phrases: list[list[str]] = field(default_factory=list)
     not_phrases: list[list[str]] = field(default_factory=list)
     filters: list[tuple[str, str, bool]] = field(default_factory=list)  # (col, value, negated)
+    boosts: dict[str, float] = field(default_factory=dict)  # term -> idf multiplier
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -77,6 +78,15 @@ def parse_query(q: str) -> BoolQuery:
                 bq.phrases.append(words)
         else:
             raw = m.group(4)
+            # query-time boost `term^2.5` (Lucene syntax): multiplies the
+            # term's idf. Non-positive or unparsable boosts are ignored;
+            # a boost on a -term is meaningless (non-scoring) and dropped.
+            boost = None
+            bm = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", raw)
+            if bm:
+                w = float(bm.group(2))
+                if w > 0:
+                    raw, boost = bm.group(1), w
             if ":" in raw and not raw.startswith(":") and not raw.endswith(":"):
                 col, value = raw.split(":", 1)
                 bq.filters.append((col, value, m.group(3) == "-"))
@@ -89,10 +99,13 @@ def parse_query(q: str) -> BoolQuery:
             for w in words:
                 if m.group(3) == "-":
                     bq.must_not.append(w)
-                elif m.group(3) == "+":
+                    continue
+                if m.group(3) == "+":
                     bq.must.append(w)
                 else:
                     bq.should.append(w)
+                if boost is not None and boost != 1.0:
+                    bq.boosts[w] = boost
     return bq
 
 
@@ -129,7 +142,9 @@ def boolean_search_index(spark, paths, query: str, k: int = 100) -> DataFrame:
     if not terms:
         return empty
     searcher = SegmentSearcher(spark, paths, persist=False)
-    per_seg = searcher._per_segment([(0, " ".join(terms))], k=_NO_PRUNE_K)
+    per_seg = searcher._per_segment(
+        [(0, " ".join(terms))], k=_NO_PRUNE_K, term_weights=bq.boosts or None
+    )
     if per_seg is None:
         return empty
     scored = per_seg.select("doc_id", "score")
@@ -208,7 +223,17 @@ def boolean_search(
 
     hits = tf.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    if bq.boosts:
+        boost_map = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(bq.boosts.items())],
+            "term string, __boost double",
+        )
+        hits = hits.join(F.broadcast(boost_map), "term", "left")
+    else:
+        hits = hits.withColumn("__boost", F.lit(None).cast("double"))
+    idf = F.coalesce(F.col("__boost"), F.lit(1.0)) * F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
     scored = (
         hits.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")

@@ -96,6 +96,7 @@ def test_boolean_index_matches_relational(spark, small_docs, small_index):
         f"{t0} -\"{t1} {t2}\"",
         f"{t0} {t1} lang:en",
         f"{t0} -lang:en +{t1}",
+        f"{t0}^3 +{t1}^0.5 {t2}",
     ]
     for q in queries:
         rel = sorted(
@@ -108,3 +109,24 @@ def test_boolean_index_matches_relational(spark, small_docs, small_index):
         )
         assert idx == rel, q
     assert rel  # the last query matched something
+
+
+def test_boost_parsing_and_scoring(spark):
+    from mtix_spark.query import boolean_search, parse_query
+
+    bq = parse_query("alpha^2 +beta^0.5 -gamma^3 delta")
+    assert bq.boosts == {"alpha": 2.0, "beta": 0.5}
+    assert bq.must == ["beta"] and bq.must_not == ["gamma"]
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta beta"), (2, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"]: r["score"] for r in boolean_search(docs, "alpha beta").collect()}
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in boolean_search(docs, "alpha^2 beta").collect()
+    }
+    # doc 2 (alpha only) doubles; doc 1 (beta only) unchanged
+    assert boosted[2] == round(2 * plain[2], 6)
+    assert boosted[1] == plain[1]
