@@ -1656,6 +1656,63 @@ def q_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _expanded_index_topk(
+    spark: SparkSession, sf_dir: str, mode: str
+) -> DataFrame:
+    """Wildcard/fuzzy through the PHYSICAL index dictionary: expand against
+    the dictionary relation, run the expanded terms through the MaxScore
+    kernels, remap dense→original ids with the usual tie margin. Shares the
+    relational oracles — expansion must find the same terms and the kernel
+    the same scores."""
+    from mtix_spark.expand import expand_fuzzy, expand_wildcard, search_expanded_index
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import SegmentSearcher
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_xidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    s = SegmentSearcher(spark, paths, persist=False)
+    if mode == "wildcard":
+        exp = expand_wildcard(s.dictionary, WILDCARD_PATTERNS)
+    else:
+        exp = expand_fuzzy(s.dictionary, FUZZY_SOURCES, max_edits=1)
+    by_q: dict[int, list[str]] = {}
+    for r in exp.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(r["term"])
+    expanded = [(qid, sorted(ts)) for qid, ts in sorted(by_q.items())]
+    res = search_expanded_index(s, expanded, k=TOPK * 5)  # tie margin
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    res = (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def q_wildcard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _expanded_index_topk(spark, sf_dir, "wildcard")
+
+
+def q_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _expanded_index_topk(spark, sf_dir, "fuzzy")
+
+
 MLT_SOURCE_IDS = [0, 7, 42]
 MLT_M = 6
 
@@ -1904,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_index": q_near_index,
         "more_like_this": q_more_like_this,
         "boolean_index": q_boolean_index,
+        "wildcard_index": q_wildcard_index,
+        "fuzzy_index": q_fuzzy_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2152,6 +2211,8 @@ GROUP BY 1
         "near_index": _near_oracle(),
         "more_like_this": _mlt_oracle(),
         "boolean_index": _boolean_oracle(),
+        "wildcard_index": _wildcard_oracle(),
+        "fuzzy_index": _fuzzy_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),
