@@ -1713,6 +1713,124 @@ def q_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_index_topk(spark, sf_dir, "fuzzy")
 
 
+SYN_GROUPS = [
+    ["merge", "join"],      # two common terms blended
+    ["row", "line"],        # two common terms blended
+    ["dup", "copy"],        # rare member + corpus-OOV member (df = max present)
+    ["fast", "quick"],      # common member + corpus-OOV member
+]
+SYN_QUERIES = [
+    (1, "hash join"),       # join pulls in merge under one pseudo-term
+    (2, "table scan fast"),
+    (3, "dup vector"),      # rare synonym group
+    (4, "row order"),
+    (5, "merge join"),      # both members of one group -> scored once
+]
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym query (Lucene SynonymQuery semantics): group members blend
+    by SUMMING tf before BM25 saturation, idf from the group's MAX member
+    df (the dictionary-only approximation Lucene uses). Relational path."""
+    from mtix_spark.expand import synonym_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = synonym_search(docs, SYN_QUERIES, SYN_GROUPS, k=TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym query over the PHYSICAL index: one pushed-down postings
+    fetch for the expanded member set (`term_postings` decodes doc_ids +
+    tfs), blended regroup bounded by posting volume, docmap doc lengths.
+    Shares q_synonym_topk's oracle."""
+    from mtix_spark.expand import synonym_topk_index
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import SegmentSearcher
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_sidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    s = SegmentSearcher(spark, paths, persist=False)
+    res = synonym_topk_index(s, SYN_QUERIES, SYN_GROUPS, k=TOPK * 5)  # tie margin
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    remapped = (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        remapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _synonym_oracle() -> str:
+    from mtix_spark.expand import synonym_expansion
+    from mtix_spark.functions.text import TOKEN_SPLIT_RE
+    import re as _re
+
+    qt = [
+        (qid, [t for t in _re.split(TOKEN_SPLIT_RE, text.lower()) if t])
+        for qid, text in SYN_QUERIES
+    ]
+    rows = synonym_expansion(qt, SYN_GROUPS)
+    vals = ", ".join(f"({q}, '{g}', '{m}')" for q, g, m in rows)
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+exp(query_id, grp, term) AS (VALUES {vals}),
+gtf AS (
+  SELECT e.query_id, e.grp, tf.doc_id, sum(tf.tf)::DOUBLE AS gtf
+  FROM exp e JOIN tf USING (term) GROUP BY 1, 2, 3
+),
+gdf AS (
+  SELECT m.grp, max(d.df) AS df
+  FROM (SELECT DISTINCT grp, term FROM exp) m
+  JOIN (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1) d USING (term)
+  GROUP BY 1
+),
+scored AS (
+  SELECT g.query_id, g.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - gd.df + 0.5) / (gd.df + 0.5))
+           * (g.gtf * {K1 + 1.0})
+           / (g.gtf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM gtf g
+  JOIN gdf gd USING (grp)
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 MLT_SOURCE_IDS = [0, 7, 42]
 MLT_M = 6
 
@@ -1956,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "synonym_topk": q_synonym_topk,
+        "synonym_index": q_synonym_index,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "near_match": q_near_match,
         "near_index": q_near_index,
@@ -2206,6 +2326,8 @@ GROUP BY 1
         "boolean_search": _boolean_oracle(),
         "wildcard_topk": _wildcard_oracle(),
         "fuzzy_topk": _fuzzy_oracle(),
+        "synonym_topk": _synonym_oracle(),
+        "synonym_index": _synonym_oracle(),
         "lm_dirichlet_topk": _lm_oracle(),
         "near_match": _near_oracle(),
         "near_index": _near_oracle(),

@@ -256,3 +256,154 @@ def search_expanded_index(searcher, expanded: list[tuple[int, list[str]]], k: in
     # terms are already tokenizer-atoms ([a-z0-9_]+), so re-tokenizing the
     # joined string is the identity expansion
     return searcher.search(fake_text, k)
+
+
+# ---------------------------------------------------------------------------
+# synonym queries (Lucene SynonymQuery — blended-tf, max-df scoring)
+# ---------------------------------------------------------------------------
+
+
+def synonym_expansion(
+    query_terms: list[tuple[int, list[str]]], synonyms: list[list[str]]
+) -> list[tuple[int, str, str]]:
+    """(query_id, group, member) rows for a tokenized query batch under a
+    synonym table. A query term inside a synonym group pulls in EVERY
+    member of its group under one blended pseudo-term (the group key =
+    lexicographically-first member); terms outside any group are their own
+    singleton group. Duplicate groups within a query collapse (a query
+    mentioning two members of one group scores the group once — Lucene's
+    SynonymQuery holds a set of terms).
+
+    Runs driver-side over the (tiny) query batch and synonym table — the
+    corpus never participates in expansion.
+    """
+    member_to_group: dict[str, str] = {}
+    group_members: dict[str, list[str]] = {}
+    for grp in synonyms:
+        members = sorted(set(grp))
+        key = members[0]
+        group_members[key] = members
+        for m in members:
+            member_to_group[m] = key
+    rows: set[tuple[int, str, str]] = set()
+    for qid, terms in query_terms:
+        for t in terms:
+            g = member_to_group.get(t)
+            if g is None:
+                rows.add((qid, t, t))
+            else:
+                for m in group_members[g]:
+                    rows.add((qid, g, m))
+    return sorted(rows)
+
+
+def _blended_bm25(
+    exp_rows: list[tuple[int, str, str]],
+    tf: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    deleted: DataFrame | None = None,
+) -> DataFrame:
+    """Shared scoring tail for synonym queries: blended tf (summed across
+    group members per doc BEFORE BM25 saturation) with the group's idf
+    taken from the MAX member df — Lucene's SynonymQuery semantics, which
+    reads df straight off the dictionary instead of counting the union of
+    postings. Everything joined against `exp` is broadcast-sized (bounded
+    by the query batch × synonym fanout)."""
+    spark = tf.sparkSession
+    exp = spark.createDataFrame(exp_rows, "query_id long, grp string, term string")
+    gtf = (
+        tf.join(F.broadcast(exp), "term")
+        .groupBy("query_id", "grp", "doc_id")
+        .agg(F.sum("tf").alias("gtf"))
+    )
+    members = exp.select("grp", "term").distinct()
+    gdf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(members), "term")
+        .groupBy("grp")
+        .agg(F.max("df").alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        gtf.join(F.broadcast(gdf), "grp")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("gtf") * (K1 + 1.0))
+            / (F.col("gtf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    if deleted is not None:
+        scored = scored.join(deleted, "doc_id", "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def synonym_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    synonyms: list[list[str]],
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational synonym-query top-k over a raw document table."""
+    from mtix_spark.functions.text import TOKEN_SPLIT_RE
+
+    qt = [
+        (qid, [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t])
+        for qid, text in queries
+    ]
+    exp_rows = synonym_expansion(qt, synonyms)
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("double").alias("dl"),
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    return _blended_bm25(exp_rows, tf, dl, n_docs, avgdl, k)
+
+
+def synonym_topk_index(
+    searcher, queries: list[tuple[int, str]], synonyms: list[list[str]], k: int = 100
+) -> DataFrame:
+    """Physical-index synonym-query top-k, value-identical to
+    `synonym_search` over the same rows (shared oracle). Plan shape: the
+    expansion's member terms drive ONE pushed-down postings fetch
+    (`term_postings` — decode doc_ids + tfs), the blend regroups those
+    posting rows by (query, group, doc) — a shuffle bounded by the fetched
+    postings, never the corpus — and doc lengths come from the docmap
+    relation keyed by doc_id. Tombstoned docs are anti-joined out before
+    ranking, so a deleted doc can't displace a live one."""
+    from mtix_spark.index.search import term_postings
+
+    spark = searcher.spark
+    qt = searcher._tokenize_queries(queries)
+    exp_rows = synonym_expansion(qt, synonyms)
+    members = sorted({m for _, _, m in exp_rows})
+    tf = term_postings(spark, searcher.paths, members)
+    dl = spark.read.parquet(searcher.paths.docmap).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    deleted = None
+    if searcher.has_deletes:
+        deleted = spark.read.parquet(searcher.deletes_root).select("doc_id").distinct()
+    return _blended_bm25(
+        exp_rows, tf, dl, searcher.n_docs, searcher.avgdl, k, deleted
+    )

@@ -529,6 +529,31 @@ def term_doc_ids(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> Da
     )
 
 
+def term_postings(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf) — fully decoded postings for a term set; the
+    building block for query operators that re-combine term frequencies
+    BEFORE saturation (SynonymQuery's blended tf). Same pushed-down
+    term IN scan as `term_doc_ids`; the kernel decodes both varint cells.
+    Rows are bounded by the terms' postings — never corpus-sized."""
+    from mtix_spark.index.build import read_manifest
+
+    rows = spark.read.parquet(paths.postings).filter(F.col("term").isin(sorted(set(terms))))
+    man = read_manifest(paths)
+    if man.get("segments"):
+        rows = rows.filter(F.col("seg").isin(sorted(int(s) for s in man["segments"])))
+
+    def kern(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids = delta_decode(r.doc_ids_bin).astype("int64")
+                tfs = decode_varint(r.tfs_bin).astype("int64")
+                yield pd.DataFrame({"term": r.term, "doc_id": ids, "tf": tfs})
+
+    return rows.select("term", "doc_ids_bin", "tfs_bin").mapInPandas(
+        kern, "term string, doc_id long, tf long"
+    )
+
+
 class SegmentSearcher:
     """Reusable query handle over a built index.
 

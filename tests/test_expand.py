@@ -209,3 +209,65 @@ def test_near_match_windows_and_order(spark):
         ).collect()
     }
     assert od == {(0, 1), (3, 1)}
+
+
+# ---------------------------------------------------------------------------
+# synonym queries (SynonymQuery blended-tf / max-df semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_synonym_expansion_groups():
+    from mtix_spark.expand import synonym_expansion
+
+    rows = synonym_expansion(
+        [(1, ["car", "road"]), (2, ["car", "auto"]), (3, ["bike"])],
+        [["car", "auto"]],
+    )
+    # q1: car joins its group (both members), road is a singleton
+    # q2: car and auto collapse to ONE group (scored once)
+    # q3: untouched singleton
+    assert rows == sorted(
+        [
+            (1, "auto", "auto"), (1, "auto", "car"), (1, "road", "road"),
+            (2, "auto", "auto"), (2, "auto", "car"),
+            (3, "bike", "bike"),
+        ]
+    )
+
+
+def test_synonym_blended_scoring(spark):
+    """Blending sums tf across members BEFORE saturation and takes the
+    group idf from the MAX member df — a doc with car x2 and a doc with
+    car+auto must score IDENTICALLY (closed-form checked)."""
+    from mtix_spark.expand import synonym_search
+    from mtix_spark.index.build import B, K1
+
+    docs = spark.createDataFrame(
+        [(1, "car car road"), (2, "car auto road"), (3, "road")],
+        "doc_id long, text string",
+    )
+    out = synonym_search(docs, [(1, "car")], [["car", "auto"]], k=10)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    n, df_blend, avgdl = 3, 2, (3 + 3 + 1) / 3  # df = max(df_car=2, df_auto=1)
+    idf = math.log(1.0 + (n - df_blend + 0.5) / (df_blend + 0.5))
+    gtf = 2.0  # both docs blend to tf 2
+    want = round(idf * gtf * (K1 + 1) / (gtf + K1 * (1 - B + B * 3.0 / avgdl)), 6)
+    assert rows == {1: want, 2: want}
+
+
+def test_synonym_index_matches_relational(spark, small_docs, small_index):
+    """Physical-index synonym path must be value-identical to the
+    relational twin over the same corpus (ids already dense)."""
+    from mtix_spark.expand import synonym_search, synonym_topk_index
+    from mtix_spark.index.search import SegmentSearcher
+
+    groups = [["hash_tree", "hash_wand"], ["save", "push"]]
+    queries = [(1, "hash_tree save"), (2, "push index_merge")]
+    rel = synonym_search(
+        small_docs, queries, groups, k=20, id_col="doc_id", text_col="content"
+    )
+    s = SegmentSearcher(spark, small_index, persist=False)
+    phys = synonym_topk_index(s, queries, groups, k=20)
+    a = sorted(map(tuple, rel.collect()))
+    b = sorted(map(tuple, phys.collect()))
+    assert a == b and len(a) > 0
