@@ -1543,6 +1543,12 @@ FUZZY_SOURCES = [
     (4, "kei"),      # key (sub)
     (5, "dups"),     # dup (del) — rare term
 ]
+REGEXP_PATTERNS = [
+    (1, "s(can|ort)"),     # literal prefix "s" -> scan, sort
+    (2, "gro+up"),         # literal prefix "gr" -> group
+    (3, "(hash|merge)"),   # no literal prefix: full dictionary scan path
+    (4, "quer[xy]"),       # literal prefix "quer" -> query
+]
 NEAR_PAIRS = [
     (1, "hash", "join", 2),
     (2, "table", "scan", 3),
@@ -1570,6 +1576,19 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tbl(spark, sf_dir, "documents")
     out = fuzzy_search(docs, FUZZY_SOURCES, max_edits=1, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query (Lucene RegexpQuery): anchored-regex expansion against
+    the vocabulary (literal-prefix pruned when sargable), then disjunctive
+    BM25 with per-expanded-term idf (scoring rewrite)."""
+    from mtix_spark.expand import regexp_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = regexp_search(docs, REGEXP_PATTERNS, k=TOPK)
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
@@ -1664,7 +1683,12 @@ def _expanded_index_topk(
     kernels, remap dense→original ids with the usual tie margin. Shares the
     relational oracles — expansion must find the same terms and the kernel
     the same scores."""
-    from mtix_spark.expand import expand_fuzzy, expand_wildcard, search_expanded_index
+    from mtix_spark.expand import (
+        expand_fuzzy,
+        expand_regexp,
+        expand_wildcard,
+        search_expanded_index,
+    )
     from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import SegmentSearcher
 
@@ -1682,6 +1706,8 @@ def _expanded_index_topk(
     s = SegmentSearcher(spark, paths, persist=False)
     if mode == "wildcard":
         exp = expand_wildcard(s.dictionary, WILDCARD_PATTERNS)
+    elif mode == "regexp":
+        exp = expand_regexp(s.dictionary, REGEXP_PATTERNS)
     else:
         exp = expand_fuzzy(s.dictionary, FUZZY_SOURCES, max_edits=1)
     by_q: dict[int, list[str]] = {}
@@ -1711,6 +1737,10 @@ def q_wildcard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_index_topk(spark, sf_dir, "fuzzy")
+
+
+def q_regexp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _expanded_index_topk(spark, sf_dir, "regexp")
 
 
 SYN_GROUPS = [
@@ -1962,6 +1992,16 @@ def _fuzzy_oracle() -> str:
     return _expanded_bm25_oracle(cte)
 
 
+def _regexp_oracle() -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in REGEXP_PATTERNS)
+    cte = (
+        f"pats(query_id, pat) AS (VALUES {vals}),\n"
+        "exp AS (SELECT query_id, term FROM vocab JOIN pats"
+        " ON regexp_full_match(term, pat))"
+    )
+    return _expanded_bm25_oracle(cte)
+
+
 def _lm_oracle(mu: float = 2000.0) -> str:
     vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
     toks = TOK.format(c="text")
@@ -2074,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "regexp_topk": q_regexp_topk,
         "synonym_topk": q_synonym_topk,
         "synonym_index": q_synonym_index,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
@@ -2083,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_index": q_boolean_index,
         "wildcard_index": q_wildcard_index,
         "fuzzy_index": q_fuzzy_index,
+        "regexp_index": q_regexp_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2326,6 +2368,7 @@ GROUP BY 1
         "boolean_search": _boolean_oracle(),
         "wildcard_topk": _wildcard_oracle(),
         "fuzzy_topk": _fuzzy_oracle(),
+        "regexp_topk": _regexp_oracle(),
         "synonym_topk": _synonym_oracle(),
         "synonym_index": _synonym_oracle(),
         "lm_dirichlet_topk": _lm_oracle(),
@@ -2335,6 +2378,7 @@ GROUP BY 1
         "boolean_index": _boolean_oracle(),
         "wildcard_index": _wildcard_oracle(),
         "fuzzy_index": _fuzzy_oracle(),
+        "regexp_index": _regexp_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -407,3 +407,89 @@ def synonym_topk_index(
     return _blended_bm25(
         exp_rows, tf, dl, searcher.n_docs, searcher.avgdl, k, deleted
     )
+
+
+# ---------------------------------------------------------------------------
+# regexp queries (Lucene RegexpQuery — dictionary expansion, scoring rewrite)
+# ---------------------------------------------------------------------------
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex (chars before the first
+    metacharacter) — the sargable seek prefix Lucene extracts from the
+    compiled automaton. A char followed by a quantifier is NOT literal,
+    and a top-level alternation (``ab|cd``) voids the prefix entirely:
+    the second branch need not start with it."""
+    depth = 0
+    i = 0
+    while i < len(pattern):  # depth-0 '|' anywhere -> no safe prefix
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":  # char class: metachars inside are literal
+            i += 1
+            if i < len(pattern) and pattern[i] == "^":
+                i += 1
+            if i < len(pattern) and pattern[i] == "]":
+                i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def expand_regexp(vocab: DataFrame, patterns: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term) — vocabulary terms fully matching each regex
+    (anchored both ends, Lucene RegexpQuery semantics). One vocabulary
+    scan serves all patterns; when every pattern has a non-empty literal
+    prefix, a startswith pre-filter prunes the dictionary scan exactly as
+    the wildcard path does."""
+    spark = vocab.sparkSession
+    pats = spark.createDataFrame(
+        [(q, f"^(?:{p})$") for q, p in patterns], "query_id long, pat string"
+    )
+    v = vocab.select("term").distinct()
+    prefixes = {regexp_literal_prefix(p) for _, p in patterns}
+    if all(prefixes) and prefixes:
+        cond = None
+        for p in sorted(prefixes):
+            c = F.col("term").startswith(p)
+            cond = c if cond is None else (cond | c)
+        v = v.filter(cond)
+    return (
+        v.join(F.broadcast(pats), F.regexp_like(F.col("term"), F.col("pat")))
+        .select("query_id", "term")
+    )
+
+
+def regexp_search(
+    docs: DataFrame,
+    patterns: list[tuple[int, str]],
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regexp query -> top-k: anchored-regex expansion against the corpus
+    vocabulary, then disjunctive BM25 (scoring rewrite, per-term idf)."""
+    vocab = docs.select(
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term")
+    ).distinct()
+    return expanded_bm25(
+        docs, expand_regexp(vocab, patterns), k, id_col, text_col
+    )

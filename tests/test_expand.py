@@ -212,6 +212,70 @@ def test_near_match_windows_and_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# regexp queries (RegexpQuery dictionary expansion + scoring rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_literal_prefix():
+    from mtix_spark.expand import regexp_literal_prefix
+
+    assert regexp_literal_prefix("sc.n") == "sc"
+    assert regexp_literal_prefix("gro+up") == "gr"   # o is quantified
+    assert regexp_literal_prefix("quer[xy]") == "quer"
+    assert regexp_literal_prefix("abc") == "abc"
+    assert regexp_literal_prefix(".*x") == ""
+    assert regexp_literal_prefix("(hash|merge)") == ""
+    # top-level alternation voids the prefix: "cd" doesn't start with "ab"
+    assert regexp_literal_prefix("ab|cd") == ""
+    assert regexp_literal_prefix("a(b|c)d") == "a"   # grouped alt is fine
+    assert regexp_literal_prefix(r"ab[|]cd") == "ab"  # class '|' is literal
+
+
+def test_expand_regexp(spark):
+    from mtix_spark.expand import expand_regexp
+
+    vocab = _vocab(spark, ["scan", "sort", "sorted", "group", "merge", "hash"])
+    got = {
+        (r["query_id"], r["term"])
+        for r in expand_regexp(
+            vocab,
+            [(1, "s(can|ort)"), (2, "gro+up"), (3, "hash|merge"), (4, "zz.*")],
+        ).collect()
+    }
+    # anchored full-match: "sorted" must NOT match s(can|ort);
+    # q3's top-level alternation disables prefix pruning for the batch
+    assert got == {
+        (1, "scan"), (1, "sort"),
+        (2, "group"),
+        (3, "hash"), (3, "merge"),
+    }
+
+
+def test_regexp_search_equals_explicit_terms(spark):
+    """A regexp whose expansion is a known term set must score exactly as
+    the same terms given explicitly (disjunctive BM25, per-term idf)."""
+    from mtix_spark.expand import expanded_bm25, regexp_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "scan the table fast"),
+            (1, "slow scan of sort"),
+            (2, "nothing here at all"),
+            (3, "sort sort"),
+        ],
+        "doc_id long, text string",
+    )
+    via_re = regexp_search(docs, [(1, "s(can|ort)")], k=10).collect()
+    explicit = spark.createDataFrame(
+        [(1, t) for t in ["scan", "sort"]], "query_id long, term string"
+    )
+    via_terms = expanded_bm25(docs, explicit, k=10).collect()
+    key = lambda rows: sorted((r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows)
+    assert key(via_re) == key(via_terms)
+    assert {r["doc_id"] for r in via_re} == {0, 1, 3}
+
+
+# ---------------------------------------------------------------------------
 # synonym queries (SynonymQuery blended-tf / max-df semantics)
 # ---------------------------------------------------------------------------
 
