@@ -1549,6 +1549,12 @@ REGEXP_PATTERNS = [
     (3, "(hash|merge)"),   # no literal prefix: full dictionary scan path
     (4, "quer[xy]"),       # literal prefix "quer" -> query
 ]
+RANGE_QUERIES = [
+    (1, "scan", "sort", True, True),    # closed slice scan..sort
+    (2, "d", "f", True, False),         # half-open [d, f)
+    (3, None, "big", True, True),       # open low end
+    (4, "table", None, False, True),    # open high end, exclusive low
+]
 NEAR_PAIRS = [
     (1, "hash", "join", 2),
     (2, "table", "scan", 3),
@@ -1590,6 +1596,66 @@ def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     out = regexp_search(docs, REGEXP_PATTERNS, k=TOPK)
     return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-range query (Lucene TermRangeQuery): lexicographic dictionary
+    slice — a pure sargable range predicate, no regex — then disjunctive
+    BM25 with per-expanded-term idf."""
+    from mtix_spark.expand import term_range_search
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = term_range_search(docs, RANGE_QUERIES, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-doc counts without ranking (IndexSearcher.count): both the
+    disjunctive (any term) and conjunctive (all terms) collectors over the
+    fixed query set — conjunctive query ids offset by 100."""
+    from mtix_spark.query import total_hits
+
+    docs = _tbl(spark, sf_dir, "documents")
+    dis = total_hits(docs, FIXED_QUERIES, conjunctive=False)
+    con = total_hits(
+        docs, [(qid + 100, t) for qid, t in FIXED_QUERIES], conjunctive=True
+    )
+    return dis.unionByName(con).select(
+        "query_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term score decomposition of each top-k hit (Lucene explain()):
+    tf, df, idf, tf-saturation, and contribution, whose per-doc sum is the
+    BM25 score the ranking entries report."""
+    from mtix_spark.query import bm25_explain
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return bm25_explain(docs, FIXED_QUERIES, k=TOPK)
+
+
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (searchAfter): fetch page 1, take each query's
+    rank-k (score, doc_id) as the cursor, fetch the NEXT k strictly after
+    it — must equal ranks k+1..2k of a single deep ranking (the oracle),
+    with no offset-style rescan of the skipped prefix."""
+    from mtix_spark.query import bm25_search_after
+
+    docs = _tbl(spark, sf_dir, "documents")
+    page1 = bm25_search_after(docs, FIXED_QUERIES, after={}, k=TOPK)
+    cursors = {
+        int(r["query_id"]): (float(r["score"]), int(r["doc_id"]))
+        for r in page1.filter(F.col("rank") == TOPK).collect()
+    }
+    # a query with < k total hits has no page 2; drop it (oracle agrees:
+    # its deep ranking has no rank > k rows)
+    q2 = [(qid, t) for qid, t in FIXED_QUERIES if qid in cursors]
+    return bm25_search_after(docs, q2, after=cursors, k=TOPK).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
 
@@ -1686,6 +1752,7 @@ def _expanded_index_topk(
     from mtix_spark.expand import (
         expand_fuzzy,
         expand_regexp,
+        expand_term_range,
         expand_wildcard,
         search_expanded_index,
     )
@@ -1708,6 +1775,8 @@ def _expanded_index_topk(
         exp = expand_wildcard(s.dictionary, WILDCARD_PATTERNS)
     elif mode == "regexp":
         exp = expand_regexp(s.dictionary, REGEXP_PATTERNS)
+    elif mode == "range":
+        exp = expand_term_range(s.dictionary, RANGE_QUERIES)
     else:
         exp = expand_fuzzy(s.dictionary, FUZZY_SOURCES, max_edits=1)
     by_q: dict[int, list[str]] = {}
@@ -1741,6 +1810,10 @@ def q_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_regexp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_index_topk(spark, sf_dir, "regexp")
+
+
+def q_range_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _expanded_index_topk(spark, sf_dir, "range")
 
 
 SYN_GROUPS = [
@@ -1926,11 +1999,15 @@ def q_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _expanded_bm25_oracle(expansion_cte: str, scored_where: str = "") -> str:
+def _expanded_bm25_oracle(
+    expansion_cte: str, scored_where: str = "", page: int = 1
+) -> str:
     """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
     BM25 with per-term idf over the expanded disjunction — the SQL twin of
     mtix_spark.expand.expanded_bm25. `scored_where` injects an optional
-    predicate into the scoring join (e.g. MLT self-exclusion)."""
+    predicate into the scoring join (e.g. MLT self-exclusion); `page`
+    selects deep-ranking slice ((page-1)*k, page*k], ranks renumbered 1..k
+    — the searchAfter twin."""
     toks = TOK.format(c="text")
     return f"""
 WITH toks AS (
@@ -1963,11 +2040,11 @@ scored AS (
   {scored_where}
   GROUP BY 1, 2
 )
-SELECT query_id, rank, doc_id, score FROM (
+SELECT query_id, rank - {(page - 1) * TOPK} AS rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
-) WHERE rank <= {TOPK}
+) WHERE rank > {(page - 1) * TOPK} AND rank <= {page * TOPK}
 """
 
 
@@ -2000,6 +2077,98 @@ def _regexp_oracle() -> str:
         " ON regexp_full_match(term, pat))"
     )
     return _expanded_bm25_oracle(cte)
+
+
+def _range_oracle() -> str:
+    conds = []
+    for qid, lo, hi, lo_incl, hi_incl in RANGE_QUERIES:
+        c = ["TRUE"]
+        if lo is not None:
+            c.append(f"term {'>=' if lo_incl else '>'} '{lo}'")
+        if hi is not None:
+            c.append(f"term {'<=' if hi_incl else '<'} '{hi}'")
+        conds.append(f"SELECT {qid} AS query_id, term FROM vocab WHERE {' AND '.join(c)}")
+    cte = "exp AS (" + " UNION ALL ".join(conds) + ")"
+    return _expanded_bm25_oracle(cte)
+
+
+def _page2_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    return _expanded_bm25_oracle(cte, page=2)
+
+
+def _total_hits_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+q(query_id, term) AS (VALUES {vals}),
+nterms AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
+hit AS (SELECT q.query_id, t.doc_id, q.term FROM q JOIN toks t USING (term)),
+dis AS (
+  SELECT query_id, count(DISTINCT doc_id)::BIGINT AS n_hits FROM hit GROUP BY 1
+),
+con AS (
+  SELECT query_id, count(*)::BIGINT AS n_hits FROM (
+    SELECT h.query_id, h.doc_id FROM hit h
+    GROUP BY 1, 2
+    HAVING count(*) = (SELECT n_terms FROM nterms n WHERE n.query_id = h.query_id)
+  ) GROUP BY 1
+)
+SELECT q.query_id, coalesce(dis.n_hits, 0) AS n_hits
+FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN dis USING (query_id)
+UNION ALL
+SELECT q.query_id + 100 AS query_id, coalesce(con.n_hits, 0) AS n_hits
+FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN con USING (query_id)
+"""
+
+
+def _explain_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+q(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+parts AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf, d.df,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS tf_norm
+  FROM q JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(idf * tf_norm), 6) DESC, doc_id
+           ) AS rank
+    FROM parts GROUP BY 1, 2
+  ) WHERE rank <= {TOPK}
+)
+SELECT p.query_id, p.doc_id, p.term, p.tf, p.df,
+       round(p.idf, 6) AS idf, round(p.tf_norm, 6) AS tf_norm,
+       round(p.idf * p.tf_norm, 6) AS contrib
+FROM parts p JOIN top USING (query_id, doc_id)
+"""
 
 
 def _lm_oracle(mu: float = 2000.0) -> str:
@@ -2115,6 +2284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
+        "range_topk": q_range_topk,
+        "total_hits": q_total_hits,
+        "bm25_explain": q_bm25_explain,
+        "bm25_page2": q_bm25_page2,
         "synonym_topk": q_synonym_topk,
         "synonym_index": q_synonym_index,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
@@ -2125,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_index": q_wildcard_index,
         "fuzzy_index": q_fuzzy_index,
         "regexp_index": q_regexp_index,
+        "range_index": q_range_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2369,6 +2543,10 @@ GROUP BY 1
         "wildcard_topk": _wildcard_oracle(),
         "fuzzy_topk": _fuzzy_oracle(),
         "regexp_topk": _regexp_oracle(),
+        "range_topk": _range_oracle(),
+        "total_hits": _total_hits_oracle(),
+        "bm25_explain": _explain_oracle(),
+        "bm25_page2": _page2_oracle(),
         "synonym_topk": _synonym_oracle(),
         "synonym_index": _synonym_oracle(),
         "lm_dirichlet_topk": _lm_oracle(),
@@ -2379,6 +2557,7 @@ GROUP BY 1
         "wildcard_index": _wildcard_oracle(),
         "fuzzy_index": _fuzzy_oracle(),
         "regexp_index": _regexp_oracle(),
+        "range_index": _range_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

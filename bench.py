@@ -148,7 +148,8 @@ def main() -> None:
         "topn_per_key",
         "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q3", "tpch_q6",
         "rollup_counts", "events_tumbling", "mti_pipeline",
-        "wildcard_topk", "fuzzy_topk", "lm_dirichlet_topk", "near_match",
+        "wildcard_topk", "fuzzy_topk", "regexp_topk", "synonym_topk",
+        "lm_dirichlet_topk", "near_match", "boolean_search",
     ]
     qs = E.queries()
     for name in suite:

@@ -493,3 +493,56 @@ def regexp_search(
     return expanded_bm25(
         docs, expand_regexp(vocab, patterns), k, id_col, text_col
     )
+
+
+# ---------------------------------------------------------------------------
+# term range queries (Lucene TermRangeQuery — sargable dictionary slice)
+# ---------------------------------------------------------------------------
+
+
+def expand_term_range(
+    vocab: DataFrame,
+    ranges: list[tuple[int, str | None, str | None, bool, bool]],
+) -> DataFrame:
+    """(query_id, term) — vocabulary terms inside each lexicographic range
+    (Lucene TermRangeQuery; None bound = open). The predicate is a pure
+    range on the dictionary's sort key, so at the physical layer it prunes
+    to a contiguous dictionary slice (min/max-pruned parquet row groups on
+    the term-sorted dictionary) — no regex, no scan of the whole vocab."""
+    spark = vocab.sparkSession
+    v = vocab.select("term").distinct()
+    outs = []
+    for qid, lo, hi, lo_incl, hi_incl in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (
+                F.col("term") >= lo if lo_incl else F.col("term") > lo
+            )
+        if hi is not None:
+            cond = cond & (
+                F.col("term") <= hi if hi_incl else F.col("term") < hi
+            )
+        outs.append(
+            v.filter(cond).select(F.lit(qid).cast("long").alias("query_id"), "term")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def term_range_search(
+    docs: DataFrame,
+    ranges: list[tuple[int, str | None, str | None, bool, bool]],
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-range query -> top-k: dictionary-slice expansion, then
+    disjunctive BM25 (scoring rewrite, per-term idf)."""
+    vocab = docs.select(
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term")
+    ).distinct()
+    return expanded_bm25(
+        docs, expand_term_range(vocab, ranges), k, id_col, text_col
+    )

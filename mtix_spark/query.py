@@ -282,3 +282,178 @@ def boolean_search(
         .filter(F.col("rank") <= k)
         .select("rank", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# search API completions: total hits, score explain, search_after pagination
+# ---------------------------------------------------------------------------
+
+
+def total_hits(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    conjunctive: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, n_hits) — matching-document counts without ranking
+    (Lucene TotalHitCountCollector / IndexSearcher.count). Disjunctive
+    counts docs containing ANY query term; conjunctive ALL terms.
+
+    Plan shape: the tf relation semi-filtered by the (broadcast) query
+    terms, one count-distinct (disjunctive) or an n-term membership count
+    (conjunctive) keyed by (query_id, doc_id) — never touches dl/df/avgdl,
+    so the scan prunes to the postings columns alone. At the physical
+    layer this is a posting-length sum (dedup by doc) — no scoring kernel.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in sorted(set(_toks(text)))],
+        "query_id long, term string",
+    )
+    n_terms = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    hit = toks.join(F.broadcast(q), "term")
+    if conjunctive:
+        per_doc = hit.groupBy("query_id", "doc_id").agg(
+            F.count(F.lit(1)).alias("n_match")
+        )
+        matched = per_doc.join(F.broadcast(n_terms), "query_id").filter(
+            F.col("n_match") == F.col("n_terms")
+        )
+        counted = matched.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+    else:
+        counted = hit.groupBy("query_id").agg(
+            F.countDistinct("doc_id").alias("n_hits")
+        )
+    # queries with zero hits still get a row (count = 0), like Lucene
+    all_q = q.select("query_id").distinct()
+    return (
+        all_q.join(counted, "query_id", "left")
+        .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+
+
+def bm25_explain(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term score decomposition for each top-k hit (Lucene
+    Explanation): (query_id, doc_id, term, tf, df, idf, tf_norm, contrib)
+    where contrib = idf * tf_norm and sum(contrib) over a doc's rows is
+    its BM25 score. Components rounded to SCORE_DECIMALS.
+
+    The decomposition reuses the scoring relation (no second corpus scan):
+    score first, cut to top-k per query, then EXPLAIN ONLY those hits via
+    a semi-join back onto the per-(query, doc, term) contribution rows.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("double").alias("dl"),
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in sorted(set(_toks(text)))],
+        "query_id long, term string",
+    )
+    hits = tf.join(F.broadcast(q), "term")
+    dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    parts = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("idf", idf)
+        .withColumn("tf_norm", tf_norm)
+        .withColumn("contrib", F.col("idf") * F.col("tf_norm"))
+    )
+    scored = parts.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return (
+        parts.join(top.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("idf", SCORE_DECIMALS).alias("idf"),
+            F.round("tf_norm", SCORE_DECIMALS).alias("tf_norm"),
+            F.round("contrib", SCORE_DECIMALS).alias("contrib"),
+        )
+    )
+
+
+def bm25_search_after(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    after: dict[int, tuple[float, int]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cursor pagination (Lucene searchAfter): return the next `k` hits
+    STRICTLY after each query's cursor (score, doc_id) in the engine sort
+    order (score DESC, doc_id ASC). A query with no cursor starts at the
+    top. Ranks continue nothing — they are 1..k within the page.
+
+    The cursor is a predicate on the scored relation, not an offset: page
+    N costs the same as page 1 regardless of depth (no global sort of the
+    skipped prefix; the per-query top-k heap cut applies after the cursor
+    filter prunes everything at-or-before the cursor).
+    """
+    from mtix_spark.expand import expanded_bm25
+
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in sorted(set(_toks(text)))],
+        "query_id long, term string",
+    )
+    scored = expanded_bm25(
+        docs, q, k=2**31 - 1, id_col=id_col, text_col=text_col
+    ).drop("rank")
+    if after:
+        cur = spark.createDataFrame(
+            [(qid, float(s), int(d)) for qid, (s, d) in sorted(after.items())],
+            "query_id long, cur_score double, cur_doc long",
+        )
+        scored = (
+            scored.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("cur_score").isNull()
+                | (F.col("score") < F.col("cur_score"))
+                | (
+                    (F.col("score") == F.col("cur_score"))
+                    & (F.col("doc_id") > F.col("cur_doc"))
+                )
+            )
+            .select("query_id", "doc_id", "score")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -130,3 +130,108 @@ def test_boost_parsing_and_scoring(spark):
     # doc 2 (alpha only) doubles; doc 1 (beta only) unchanged
     assert boosted[2] == round(2 * plain[2], 6)
     assert boosted[1] == plain[1]
+
+
+# ---------------------------------------------------------------------------
+# search API completions: ranges, counts, explain, pagination
+# ---------------------------------------------------------------------------
+
+
+def test_expand_term_range_bounds(spark):
+    from mtix_spark.expand import expand_term_range
+
+    vocab = spark.createDataFrame(
+        [(t,) for t in ["apple", "batch", "cat", "dog", "emu"]], "term string"
+    )
+    got = {
+        (r["query_id"], r["term"])
+        for r in expand_term_range(
+            vocab,
+            [
+                (1, "batch", "dog", True, True),    # closed
+                (2, "batch", "dog", False, False),  # open both
+                (3, None, "batch", True, True),     # open low
+                (4, "dog", None, False, True),      # open high, excl
+                (5, "x", "z", True, True),          # empty slice
+            ],
+        ).collect()
+    }
+    assert got == {
+        (1, "batch"), (1, "cat"), (1, "dog"),
+        (2, "cat"),
+        (3, "apple"), (3, "batch"),
+        (4, "emu"),
+    }
+
+
+def test_total_hits_modes(spark):
+    from mtix_spark.query import total_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join fast"),
+            (1, "hash hash"),
+            (2, "join only"),
+            (3, "nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = [(1, "hash join"), (2, "nothing"), (3, "zz_absent")]
+    dis = {r["query_id"]: r["n_hits"] for r in total_hits(docs, qs).collect()}
+    assert dis == {1: 3, 2: 1, 3: 0}  # zero-hit query still gets a row
+    con = {
+        r["query_id"]: r["n_hits"]
+        for r in total_hits(docs, qs, conjunctive=True).collect()
+    }
+    assert con == {1: 1, 2: 1, 3: 0}  # only doc 0 has BOTH hash and join
+
+
+def test_explain_contribs_sum_to_score(spark):
+    from mtix_spark.index.search import SCORE_DECIMALS
+    from mtix_spark.query import bm25_explain
+    from mtix_spark.expand import expanded_bm25
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join fast join"),
+            (1, "hash table"),
+            (2, "join join join"),
+            (3, "other words"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = [(1, "hash join")]
+    exp = bm25_explain(docs, qs, k=10).collect()
+    # reconstruct scores from the decomposition
+    by_doc = {}
+    for r in exp:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contrib"]
+    q = spark.createDataFrame([(1, "hash"), (1, "join")], "query_id long, term string")
+    ranked = {
+        r["doc_id"]: r["score"] for r in expanded_bm25(docs, q, k=10).collect()
+    }
+    assert set(by_doc) == set(ranked)
+    for d, s in ranked.items():
+        assert abs(round(by_doc[d], SCORE_DECIMALS) - s) < 2e-6  # 6dp rounding slack
+    # per-row invariant: contrib == idf * tf_norm at 6dp
+    for r in exp:
+        assert abs(r["contrib"] - round(r["idf"] * r["tf_norm"], 6)) < 2e-6
+
+
+def test_search_after_pages_partition_deep_ranking(spark):
+    from mtix_spark.query import bm25_search_after
+
+    rows = [(i, "alpha beta" if i % 2 else "alpha") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = [(1, "alpha beta")]
+    deep = bm25_search_after(docs, qs, after={}, k=12).collect()
+    page1 = bm25_search_after(docs, qs, after={}, k=4).collect()
+    cur = next((float(r["score"]), int(r["doc_id"])) for r in page1 if r["rank"] == 4)
+    page2 = bm25_search_after(docs, qs, after={1: cur}, k=4).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1] + [
+        (r["doc_id"], r["score"]) for r in page2
+    ]
+    want = [(r["doc_id"], r["score"]) for r in deep][:8]
+    # identical docs tie on score — the cursor must split the tie group
+    # exactly where the deep ranking does (doc_id tiebreak)
+    assert got == want
