@@ -879,6 +879,94 @@ WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT AS BIGINT) % {
 """
 
 
+PACK_LEN = 64          # tokens per training sequence (small so docs span)
+TRAIN_SHARDS = 4
+EPOCH_SALT = "ep1"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: each doc's global token offset
+    (two-phase prefix sum, no global sort) and the chunk span it lands in."""
+    from mtix_spark.packing import pack_sequences
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pack_sequences(docs, PACK_LEN)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk census of the packing (docs touching + tokens landing in
+    each fixed-length sequence)."""
+    from mtix_spark.packing import pack_chunks
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pack_chunks(docs, PACK_LEN)
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle split into reader shards —
+    identical training stream on any cluster size / rerun."""
+    from mtix_spark.packing import training_order
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return training_order(docs, TRAIN_SHARDS, salt=EPOCH_SALT)
+
+
+def _pack_base_sql() -> str:
+    toks = TOK.format(c="text")
+    return f"""
+d AS (SELECT doc_id, len({toks})::BIGINT AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         (sum(n_tok) OVER (ORDER BY doc_id) - n_tok)::BIGINT AS start_tok
+  FROM d WHERE n_tok > 0
+)"""
+
+
+def _pack_sequences_oracle() -> str:
+    return f"""
+WITH {_pack_base_sql()}
+SELECT doc_id, n_tok, start_tok,
+       (start_tok // {PACK_LEN})::BIGINT AS first_chunk,
+       ((start_tok + n_tok - 1) // {PACK_LEN})::BIGINT AS last_chunk
+FROM c
+"""
+
+
+def _pack_chunks_oracle() -> str:
+    return f"""
+WITH {_pack_base_sql()},
+spans AS (
+  SELECT doc_id, start_tok, n_tok,
+         unnest(generate_series(
+           (start_tok // {PACK_LEN}), ((start_tok + n_tok - 1) // {PACK_LEN})
+         )) AS chunk_id
+  FROM c
+)
+SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+       sum(least(start_tok + n_tok, (chunk_id + 1) * {PACK_LEN})
+           - greatest(start_tok, chunk_id * {PACK_LEN}))::BIGINT AS n_tok
+FROM spans GROUP BY 1
+"""
+
+
+def _training_order_oracle() -> str:
+    from mtix_spark.sampling import BUCKETS
+
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{EPOCH_SALT}' || doc_id::VARCHAR), 1, 12))::UBIGINT AS BIGINT)
+           % {BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, (bucket % {TRAIN_SHARDS})::BIGINT AS shard,
+       row_number() OVER (
+         PARTITION BY bucket % {TRAIN_SHARDS} ORDER BY bucket, doc_id
+       )::BIGINT AS pos
+FROM h
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.15)
 
@@ -2255,6 +2343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "pack_chunks": q_pack_chunks,
+        "training_order": q_training_order,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2388,6 +2479,9 @@ FROM documents GROUP BY 1
         "minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "pack_chunks": _pack_chunks_oracle(),
+        "training_order": _training_order_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "knn_cosine": _knn_oracle(),

@@ -150,6 +150,7 @@ def main() -> None:
         "rollup_counts", "events_tumbling", "mti_pipeline",
         "wildcard_topk", "fuzzy_topk", "regexp_topk", "synonym_topk",
         "lm_dirichlet_topk", "near_match", "boolean_search",
+        "pack_sequences", "training_order",
     ]
     qs = E.queries()
     for name in suite:
