@@ -1688,6 +1688,69 @@ def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_SOURCES = [
+    (1, "custmer"),   # customer (1 del)
+    (2, "vektor"),    # vector (1 sub)
+    (3, "joun"),      # join (1 sub)
+    (4, "qury"),      # query (1 del)
+    (5, "merg"),      # merge (1 del) — also near 'merge'-adjacent terms
+]
+
+
+def q_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion (DirectSpellChecker): top corrections per source
+    term ranked by (edit distance, df DESC, term) over the corpus vocab."""
+    from mtix_spark.expand import suggest_from_corpus
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return suggest_from_corpus(docs, SUGGEST_SOURCES, max_edits=2, top=3)
+
+
+def q_suggest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same suggestions driven by the PHYSICAL index dictionary (term, df)
+    — the form a serving system runs: one dictionary relation, no corpus
+    access. Shares the relational oracle (dictionary df is corpus df)."""
+    from mtix_spark.expand import suggest_terms
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import SegmentSearcher
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_sidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    s = SegmentSearcher(spark, paths, persist=False)
+    return suggest_terms(s.dictionary, SUGGEST_SOURCES, max_edits=2, top=3)
+
+
+def _suggest_oracle() -> str:
+    toks = TOK.format(c="text")
+    vals = ", ".join(f"({q}, '{s}')" for q, s in SUGGEST_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+src(query_id, s) AS (VALUES {vals}),
+cand AS (
+  SELECT query_id, term, df, levenshtein(term, s)::BIGINT AS distance
+  FROM vocab JOIN src
+    ON term <> s AND abs(len(term) - len(s)) <= 2 AND levenshtein(term, s) <= 2
+)
+SELECT query_id, term AS suggestion, df, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance, df DESC, term
+  )::BIGINT AS rank FROM cand
+) WHERE rank <= 3
+"""
+
+
 def q_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-range query (Lucene TermRangeQuery): lexicographic dictionary
     slice — a pure sargable range predicate, no regex — then disjunctive
@@ -2376,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         "range_topk": q_range_topk,
+        "suggest_topk": q_suggest_topk,
         "total_hits": q_total_hits,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
@@ -2390,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_index": q_fuzzy_index,
         "regexp_index": q_regexp_index,
         "range_index": q_range_index,
+        "suggest_index": q_suggest_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2638,6 +2703,7 @@ GROUP BY 1
         "fuzzy_topk": _fuzzy_oracle(),
         "regexp_topk": _regexp_oracle(),
         "range_topk": _range_oracle(),
+        "suggest_topk": _suggest_oracle(),
         "total_hits": _total_hits_oracle(),
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),
@@ -2652,6 +2718,7 @@ GROUP BY 1
         "fuzzy_index": _fuzzy_oracle(),
         "regexp_index": _regexp_oracle(),
         "range_index": _range_oracle(),
+        "suggest_index": _suggest_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -546,3 +546,74 @@ def term_range_search(
     return expanded_bm25(
         docs, expand_term_range(vocab, ranges), k, id_col, text_col
     )
+
+
+# ---------------------------------------------------------------------------
+# spell suggestion (Lucene DirectSpellChecker — did-you-mean)
+# ---------------------------------------------------------------------------
+
+
+def suggest_terms(
+    vocab_df: DataFrame,
+    sources: list[tuple[int, str]],
+    max_edits: int = 2,
+    top: int = 3,
+) -> DataFrame:
+    """(query_id, suggestion, df, distance, rank) — for each (possibly
+    misspelled) source term, the `top` dictionary terms within `max_edits`,
+    ranked the way Lucene's DirectSpellChecker ranks candidates: smaller
+    edit distance first, then higher document frequency, then term ASC.
+    The source term itself is excluded (a suggestion equal to the input
+    isn't a correction).
+
+    vocab_df must carry (term, df) — the index dictionary relation. The
+    scan is the same length-banded broadcast pattern as `expand_fuzzy`:
+    one dictionary pass serves all sources, no corpus access.
+    """
+    spark = vocab_df.sparkSession
+    src = spark.createDataFrame(list(sources), "query_id long, src string")
+    d = F.levenshtein(F.col("term"), F.col("src"), max_edits)
+    cand = (
+        vocab_df.select("term", "df")
+        .join(
+            F.broadcast(src),
+            (F.abs(F.length("term") - F.length("src")) <= max_edits)
+            & (F.col("term") != F.col("src")),
+        )
+        .withColumn("distance", d)
+        .filter(F.col("distance") >= 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(
+            "query_id",
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("df"),
+            F.col("distance").cast("long").alias("distance"),
+            "rank",
+        )
+    )
+
+
+def suggest_from_corpus(
+    docs: DataFrame,
+    sources: list[tuple[int, str]],
+    max_edits: int = 2,
+    top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational twin: derive (term, df) from the corpus, then suggest."""
+    vocab_df = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return suggest_terms(vocab_df, sources, max_edits, top)

@@ -335,3 +335,46 @@ def test_synonym_index_matches_relational(spark, small_docs, small_index):
     a = sorted(map(tuple, rel.collect()))
     b = sorted(map(tuple, phys.collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# spell suggestion (DirectSpellChecker ranking)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_ranking_semantics(spark):
+    """Candidates rank by (distance ASC, df DESC, term ASC); the source
+    term itself is never suggested even when it exists in the vocab."""
+    from mtix_spark.expand import suggest_terms
+
+    vocab = spark.createDataFrame(
+        [("scan", 50), ("scans", 90), ("scant", 90), ("span", 10),
+         ("plan", 70), ("scanner", 5)],
+        "term string, df long",
+    )
+    got = [
+        (r["suggestion"], r["distance"], r["rank"])
+        for r in suggest_terms(vocab, [(1, "scan")], max_edits=2, top=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    # dist1: scans/scant (df 90, term asc), span (df 10); dist2: scanner? no
+    # — "scanner" is 3 edits; "plan" is 2 (s->p, c del? s-c-a-n vs p-l-a-n:
+    # 2 subs). source "scan" itself excluded despite df 50.
+    assert got == [
+        ("scans", 1, 1), ("scant", 1, 2), ("span", 1, 3), ("plan", 2, 4)
+    ]
+
+
+def test_suggest_from_corpus_misspelling(spark):
+    from mtix_spark.expand import suggest_from_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "merge the batch"), (1, "merge merge purge"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = suggest_from_corpus(docs, [(1, "merg")], max_edits=1, top=2).collect()
+    # df is DOCUMENT frequency (merge df=2, not tf=3); purge is 2 edits
+    assert [(r["suggestion"], r["df"], r["distance"]) for r in out] == [
+        ("merge", 2, 1)
+    ]
