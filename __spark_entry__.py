@@ -2361,6 +2361,99 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+SPAN_QUERIES = [
+    (1, ["hash", "join"], 3),
+    (2, ["table", "scan", "fast"], 6),
+    (3, ["key", "value", "part"], 8),
+    (4, ["merge", "batch"], 0),       # slop 0 = strict adjacency
+    (5, ["dup", "the", "vector"], 10),
+]
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered n-term proximity with slop (SpanNearQuery) — anchored
+    greedy-span counts, relational chain form."""
+    from mtix_spark.index.positions import span_near_relational
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, terms, slop in SPAN_QUERIES:
+        m = span_near_relational(docs, terms, slop, text_col="text")
+        outs.append(
+            m.select(F.lit(qid).cast("long").alias("query_id"), "doc_id", "n_spans")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def q_span_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical SpanNear over the positional index (vectorized greedy
+    chain) — shares q_span_near's oracle."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.positions import build_positions, span_near_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_spidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    build_positions(spark, with_ids, paths)
+    res = span_near_topk(spark, paths, SPAN_QUERIES, k=1_000_000)  # full set
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "n_spans")
+    )
+
+
+def _span_chain_sql(terms: list[str], anchor: str = "t1") -> str:
+    """Correlated greedy-chain scalar subquery: min position of terms[-1]
+    strictly after the chain over terms[:-1] (recursive nesting)."""
+    if len(terms) == 1:
+        prev = f"{anchor}.pos"
+    else:
+        prev = f"({_span_chain_sql(terms[:-1], anchor)})"
+    t = terms[-1]
+    return (
+        f"SELECT min(x.pos) FROM toks x WHERE x.doc_id = {anchor}.doc_id"
+        f" AND x.term = '{t}' AND x.pos > {prev}"
+    )
+
+
+def _span_near_oracle() -> str:
+    toks = TOK.format(c="text")
+    parts = []
+    for qid, terms, slop in SPAN_QUERIES:
+        n = len(terms)
+        chain = f"({_span_chain_sql(terms[1:])})" if n > 1 else "t1.pos"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, doc_id, count(*)::BIGINT AS n_spans\n"
+            f"FROM (SELECT t1.doc_id, t1.pos AS p1, {chain} AS cur\n"
+            f"      FROM toks t1 WHERE t1.term = '{terms[0]}')\n"
+            f"WHERE cur IS NOT NULL AND cur - p1 - {n - 1} <= {slop}\n"
+            f"GROUP BY 1, 2"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+)
+{body}
+"""
+
+
 def _near_oracle() -> str:
     toks = TOK.format(c="text")
     parts = []
@@ -2440,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_topk": q_regexp_topk,
         "range_topk": q_range_topk,
         "suggest_topk": q_suggest_topk,
+        "span_near": q_span_near,
         "total_hits": q_total_hits,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
@@ -2455,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_index": q_regexp_index,
         "range_index": q_range_index,
         "suggest_index": q_suggest_index,
+        "span_near_index": q_span_near_index,
         "phrase_match": q_phrase_match,
         "phrase_index": q_phrase_index,
         "phrase_snippets": q_phrase_snippets,
@@ -2704,6 +2799,7 @@ GROUP BY 1
         "regexp_topk": _regexp_oracle(),
         "range_topk": _range_oracle(),
         "suggest_topk": _suggest_oracle(),
+        "span_near": _span_near_oracle(),
         "total_hits": _total_hits_oracle(),
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),
@@ -2719,6 +2815,7 @@ GROUP BY 1
         "regexp_index": _regexp_oracle(),
         "range_index": _range_oracle(),
         "suggest_index": _suggest_oracle(),
+        "span_near_index": _span_near_oracle(),
         "phrase_match": _phrase_oracle(),
         "phrase_index": _phrase_oracle(),
         "phrase_snippets": _snippet_oracle(),

@@ -656,3 +656,181 @@ def phrase_match_relational(
             & (nxt[f"p{j}"] == base["p0"] + F.lit(j)),
         ).drop("d", f"p{j}")
     return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+# ---------------------------------------------------------------------------
+# SpanNear: n-term ordered proximity with slop (Lucene SpanNearQuery)
+# ---------------------------------------------------------------------------
+
+
+def span_near_relational(
+    docs: DataFrame,
+    terms: list[str],
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Ordered n-term proximity (SpanNearQuery(inOrder=true, slop)):
+    (doc_id, n_spans) where n_spans counts ANCHORED GREEDY SPANS — start
+    positions p1 of terms[0] whose greedy chain (each p_i = the SMALLEST
+    position of terms[i] strictly after p_{i-1}) completes with total gap
+    p_n - p_1 - (n-1) <= slop. Greedy-minimal chains are optimal for
+    span existence, so an anchor matches iff ANY in-order tuple within
+    the slop starts there; counting anchors (not tuples) keeps the count
+    linear in tf instead of combinatorial.
+
+    Plan: posexplode once; each chain step is a per-term positions
+    relation joined on (doc, pos > prev) then groupBy(doc, p1) min(pos) —
+    n-1 join+agg rounds over position lists, never the corpus. The
+    physical path (`span_near_topk`) runs the same chain as vectorized
+    searchsorted steps inside the positions-segment kernel."""
+    toks = [t.lower() for t in terms]
+    assert toks, "empty span"
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    base = stream.filter(F.col("term") == toks[0]).select(
+        "doc_id", F.col("pos").alias("p1"), F.col("pos").alias("cur")
+    )
+    for t in toks[1:]:
+        nxt = stream.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias("np")
+        )
+        base = (
+            base.join(nxt, (base["doc_id"] == nxt["d"]) & (F.col("np") > F.col("cur")))
+            .groupBy("doc_id", "p1")
+            .agg(F.min("np").alias("cur"))
+        )
+    n = len(toks)
+    return (
+        base.filter(F.col("cur") - F.col("p1") - (n - 1) <= slop)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def span_near_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[tuple[int, list[str], int]],
+    k: int = 100,
+) -> DataFrame:
+    """Physical SpanNear over the positional index — same anchored-greedy
+    semantics as `span_near_relational`, sharing its oracle. queries:
+    (query_id, [t1..tn], slop). Returns (query_id, doc_id, n_spans),
+    top-k per query by (n_spans DESC, doc_id ASC).
+
+    Kernel: candidate docs = intersection of all terms' doc lists; all
+    positions packed (cand_rank << SHIFT | pos) so one
+    np.searchsorted(side='right') per chain step advances EVERY anchor at
+    once (the greedy 'smallest position strictly after' lookup); anchors
+    whose successor falls outside their rank block die. n-1 vectorized
+    steps total per (query, segment) — no per-doc or per-anchor loops."""
+    live_qs = [
+        (qid, [t.lower() for t in ts], int(s))
+        for qid, ts, s in queries
+        if ts and s >= 0
+    ]
+    empty = spark.createDataFrame([], "query_id long, doc_id long, n_spans long")
+    if not live_qs:
+        return empty
+    all_terms = sorted({t for _, ts, _ in live_qs for t in ts})
+
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
+    man = read_manifest(paths)
+    live = man.get("positions_segments")
+    if live:
+        rows = rows.filter(F.col("seg").isin(sorted(live)))
+    has_deletes = int(man.get("n_deleted", 0)) > 0
+    del_root = os.path.join(paths.root, "deletes")
+    del_epoch = int(man.get("delete_epoch", 0))
+
+    def kernel(key, p: pd.DataFrame) -> pd.DataFrame:
+        deleted = None
+        if has_deletes:
+            from mtix_spark.index.deletes import load_deleted, mask_deleted
+
+            deleted = load_deleted(del_root, int(key[0]), del_epoch)
+        by_term = {}
+        for _, r in p.iterrows():
+            ids = delta_decode(r["doc_ids_bin"]).astype(np.int64)
+            counts = decode_varint(r["pos_counts_bin"]).astype(np.int64)
+            pdel = decode_varint(r["positions_bin"]).astype(np.int64)
+            offs = np.zeros(ids.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            pos = _reanchor(pdel, offs)
+            if deleted is not None and deleted.size:
+                keep = np.flatnonzero(mask_deleted(ids, deleted))
+                if keep.size != ids.size:
+                    pos = (
+                        np.concatenate([pos[offs[i] : offs[i + 1]] for i in keep])
+                        if keep.size
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    new_offs = np.zeros(keep.size + 1, dtype=np.int64)
+                    np.cumsum(counts[keep], out=new_offs[1:])
+                    ids, offs = ids[keep], new_offs
+            by_term[r["term"]] = (ids, offs, pos)
+
+        out = {"query_id": [], "doc_id": [], "n_spans": []}
+        for qid, toks, slop in live_qs:
+            if any(t not in by_term for t in toks):
+                continue
+            # candidate docs: intersect all terms' doc lists, tracking each
+            # term's row indices into its own arrays
+            cand = by_term[toks[0]][0]
+            for t in toks[1:]:
+                cand = np.intersect1d(cand, by_term[t][0], assume_unique=True)
+            if cand.size == 0:
+                continue
+
+            def packed(term):
+                ids_t, offs, pos = by_term[term]
+                rows_idx = np.searchsorted(ids_t, cand)  # cand ⊆ ids_t
+                lens = (offs[rows_idx + 1] - offs[rows_idx]).astype(np.int64)
+                rank = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+                flat = (
+                    np.concatenate([pos[offs[i] : offs[i + 1]] for i in rows_idx])
+                    if rows_idx.size
+                    else np.empty(0, np.int64)
+                )
+                return (rank << _POS_SHIFT) | flat
+
+            p1 = packed(toks[0])
+            cur = p1.copy()
+            alive = np.ones(cur.size, dtype=bool)
+            for t in toks[1:]:
+                pa = packed(t)
+                idx = np.searchsorted(pa, cur, side="right")
+                ok = idx < pa.size
+                nxt = np.where(ok, pa[np.minimum(idx, pa.size - 1)], 0)
+                # successor must stay in the same rank block
+                same = ok & ((nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT))
+                alive &= same
+                cur = np.where(same, nxt, cur)
+            n = len(toks)
+            span_ok = alive & (
+                (cur & ((1 << _POS_SHIFT) - 1)) - (p1 & ((1 << _POS_SHIFT) - 1))
+                <= slop + (n - 1)
+            )
+            rank_of = (p1 >> _POS_SHIFT)[span_ok]
+            per_doc = np.bincount(rank_of, minlength=cand.size).astype(np.int64)
+            nz = np.flatnonzero(per_doc)
+            out["query_id"].extend([qid] * nz.size)
+            out["doc_id"].extend(cand[nz].tolist())
+            out["n_spans"].extend(per_doc[nz].tolist())
+        return pd.DataFrame(out).astype(
+            {"query_id": "int64", "doc_id": "int64", "n_spans": "int64"}
+        )
+
+    per_seg = rows.groupBy("seg").applyInPandas(
+        kernel, "query_id long, doc_id long, n_spans long"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("n_spans"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("__r", F.row_number().over(w_))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -191,3 +191,87 @@ def test_contaminated_docs(spark):
         for r in contaminated_docs(docs, probes, n=3).collect()
     }
     assert got == {(0, 100): 2, (1, 100): 1, (3, 100): 2}
+
+
+# ---------------------------------------------------------------------------
+# SpanNear (ordered n-term proximity with slop)
+# ---------------------------------------------------------------------------
+
+
+def test_span_near_semantics(spark):
+    from mtix_spark.index.positions import span_near_relational
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # chain gap 0
+            (1, "a x b y c"),      # chain gap 2
+            (2, "a c b"),          # out of order: b after a exists, but c
+                                   # after that b? no -> dead chain
+            (3, "a b a b c"),      # two anchors: p1=0 chain b@1,c@4 gap 2;
+                                   #              p1=2 chain b@3,c@4 gap 0
+            (4, "c b a"),          # nothing after a
+        ],
+        "doc_id long, text string",
+    )
+    got = lambda s: {
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_relational(docs, ["a", "b", "c"], s, text_col="text").collect()
+    }
+    assert got(0) == {(0, 1), (3, 1)}          # only gap-0 chains
+    assert got(2) == {(0, 1), (1, 1), (3, 2)}  # both doc-3 anchors now pass
+    # two-term and single-term degenerate forms
+    two = {
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_relational(docs, ["a", "b"], 0, text_col="text").collect()
+    }
+    assert two == {(0, 1), (3, 2)}  # adjacency only: doc1 has gap 1
+    one = {
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_relational(docs, ["a"], 0, text_col="text").collect()
+    }
+    assert one == {(0, 1), (1, 1), (2, 1), (3, 2), (4, 1)}  # anchors = tf
+
+
+def test_span_near_duplicate_terms(spark):
+    from mtix_spark.index.positions import span_near_relational
+
+    docs = spark.createDataFrame(
+        [(0, "go go go"), (1, "go stop go")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_relational(docs, ["go", "go"], 0, text_col="text").collect()
+    }
+    assert got == {(0, 2)}  # strictly-after chain; doc1 gap is 1 > slop 0
+    got2 = {
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_relational(docs, ["go", "go"], 1, text_col="text").collect()
+    }
+    assert got2 == {(0, 2), (1, 1)}
+
+
+def test_span_near_index_matches_relational(spark, small_docs, small_index):
+    from mtix_spark.index.positions import (
+        build_positions,
+        span_near_relational,
+        span_near_topk,
+    )
+    import re
+
+    build_positions(spark, small_docs, small_index)
+    row = small_docs.select("content").first()
+    toks = [t for t in re.split("[^a-z0-9_]+", row["content"].lower()) if t]
+    qs = [(1, toks[:3], 4), (2, toks[:2], 1), (3, [toks[0], "zz_absent"], 5)]
+    idx = sorted(
+        (r["query_id"], r["doc_id"], r["n_spans"])
+        for r in span_near_topk(spark, small_index, qs, k=10**6).collect()
+    )
+    rel = []
+    for qid, terms, slop in qs:
+        rel += [
+            (qid, r["doc_id"], r["n_spans"])
+            for r in span_near_relational(
+                small_docs, terms, slop, text_col="content"
+            ).collect()
+        ]
+    assert idx == sorted(rel) and idx
