@@ -1967,6 +1967,41 @@ def q_range_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expanded_index_topk(spark, sf_dir, "range")
 
 
+def q_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet over the PHYSICAL index (decoded postings + docmap
+    lengths through the same rank decomposition) — shares the relational
+    lm_dirichlet_topk oracle; usual dense-id tie margin."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import lm_dirichlet_index
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_lmidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    res = lm_dirichlet_index(spark, paths, FIXED_QUERIES, k=TOPK * 5)
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    res = (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 SYN_GROUPS = [
     ["merge", "join"],      # two common terms blended
     ["row", "line"],        # two common terms blended
@@ -2540,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": q_synonym_topk,
         "synonym_index": q_synonym_index,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_index": q_lm_index,
         "near_match": q_near_match,
         "near_index": q_near_index,
         "more_like_this": q_more_like_this,
@@ -2806,6 +2842,7 @@ GROUP BY 1
         "synonym_topk": _synonym_oracle(),
         "synonym_index": _synonym_oracle(),
         "lm_dirichlet_topk": _lm_oracle(),
+        "lm_index": _lm_oracle(),
         "near_match": _near_oracle(),
         "near_index": _near_oracle(),
         "more_like_this": _mlt_oracle(),

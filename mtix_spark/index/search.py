@@ -1075,3 +1075,45 @@ def merged_topk(
 ) -> pd.DataFrame:
     """One-shot top-k over the merged posting lists (cold MergedSearcher)."""
     return MergedSearcher(spark, paths).search(queries, k)
+
+
+def lm_dirichlet_index(
+    spark: SparkSession,
+    paths: "IndexPaths",
+    queries: DataFrame | list,
+    mu: float = 2000.0,
+    k: int = 100,
+) -> DataFrame:
+    """LM-Dirichlet ranking over the PHYSICAL index — the second scoring
+    family on the same postings the BM25 kernels read. Decoded term
+    postings (pushed-down term IN scan) + docmap doc lengths feed the
+    exact rank decomposition of `lm_dirichlet_brute`, so the two paths
+    share one oracle. Tombstones anti-join out of both relations and the
+    collection statistics (LM smoothing depends on cf/C, so unlike BM25's
+    Lucene-style stale stats, deleted tokens must leave the denominator —
+    otherwise smoothed probabilities drift from the rebuilt-index answer).
+
+    total tokens C comes from one docmap aggregation; a serving deployment
+    would cache it in stats.json at build time (noted, not needed here —
+    the agg is a column-pruned scan of the (doc_id, dl) relation).
+    """
+    from mtix_spark.index.build import read_manifest
+
+    qdf = _queries_df(spark, queries)
+    qt = query_terms(qdf)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    tf = term_postings(spark, paths, terms)
+    dl = spark.read.parquet(paths.doclens).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    man = read_manifest(paths)
+    if int(man.get("n_deleted", 0)) > 0:
+        import os as _os
+
+        dead = spark.read.parquet(_os.path.join(paths.root, "deletes")).select(
+            "doc_id"
+        )
+        tf = tf.join(dead, "doc_id", "left_anti")
+        dl = dl.join(dead, "doc_id", "left_anti")
+    total = int(dl.agg(F.sum("dl")).collect()[0][0])
+    return lm_dirichlet_brute(tf, dl, qdf, total, mu=mu, k=k)

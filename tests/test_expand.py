@@ -378,3 +378,49 @@ def test_suggest_from_corpus_misspelling(spark):
     assert [(r["suggestion"], r["df"], r["distance"]) for r in out] == [
         ("merge", 2, 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# LM-Dirichlet over the physical index
+# ---------------------------------------------------------------------------
+
+
+def test_lm_index_matches_brute_and_respects_deletes(spark, small_docs, tmp_path):
+    """Physical LM path equals the relational decomposition over the same
+    corpus; after a delete it must equal a FRESH build without the doc
+    (LM collection stats exclude tombstoned tokens, unlike BM25's
+    Lucene-stale df)."""
+    from mtix_spark.index.build import build_index
+    from mtix_spark.index.deletes import delete_docs
+    from mtix_spark.index.search import lm_dirichlet_brute, lm_dirichlet_index
+
+    idx = build_index(spark, small_docs, str(tmp_path / "lmidx"), n_segments=3)
+    queries = [(1, "index_merge hash_tree"), (2, "save push")]
+
+    def brute(docs):
+        tf = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.split(F.lower(F.col("content")), "[^a-z0-9_]+")
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+        total = int(dl.agg(F.sum("dl")).collect()[0][0])
+        q = spark.createDataFrame(queries, "query_id long, text string")
+        return sorted(
+            map(tuple, lm_dirichlet_brute(tf, dl, q, total, k=20).collect())
+        )
+
+    got = sorted(map(tuple, lm_dirichlet_index(spark, idx, queries, k=20).collect()))
+    assert got == brute(small_docs) and got
+
+    victim = got[0][2]  # top doc of query 1
+    delete_docs(spark, idx, [victim])
+    after = sorted(map(tuple, lm_dirichlet_index(spark, idx, queries, k=20).collect()))
+    assert after == brute(small_docs.filter(F.col("doc_id") != victim))
+    assert all(r[2] != victim for r in after)
