@@ -240,6 +240,25 @@ def build_positions(
     return out
 
 
+def require_positions(man: dict) -> list[int]:
+    """Live positional segment set for a query, or raise. A positional
+    query over an index whose tf segments outnumber its positional ones
+    (e.g. stream-ingested batches before the next `build_positions` run)
+    would silently drop those segments' docs from phrase/NEAR/span
+    results — Lucene raises IllegalStateException for fields indexed
+    without positions; we do the equivalent and name the gap."""
+    have = {int(s) for s in man.get("positions_segments", [])}
+    tf_segs = {int(s) for s in man.get("segments", {})}
+    missing = sorted(tf_segs - have)
+    if missing:
+        raise ValueError(
+            f"positional query on an index with {len(missing)} segment(s) "
+            f"lacking positions (e.g. seg {missing[:5]}): run "
+            "build_positions over the new docs first"
+        )
+    return sorted(have)
+
+
 def _reanchor(pdel: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """Per-doc cumulative sum of position deltas (first delta absolute):
     one global cumsum, then subtract each doc's inherited prefix."""
@@ -288,15 +307,17 @@ def phrase_topk(
         return empty
     all_terms = sorted({t for _, ts in phrases for t in ts})
 
-    pos_dir = os.path.join(paths.root, "positions")
-    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
     # manifest = source of truth for live positional segments (orphan dirs
-    # from an interrupted compaction must not produce duplicate rows)
-    live = read_manifest(paths).get("positions_segments")
-    if live:
-        rows = rows.filter(F.col("seg").isin(sorted(live)))
-
+    # from an interrupted compaction must not produce duplicate rows);
+    # raise if any live tf segment lacks positions (never silently partial)
     man = read_manifest(paths)
+    live = require_positions(man)
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = (
+        spark.read.parquet(pos_dir)
+        .filter(F.col("term").isin(all_terms))
+        .filter(F.col("seg").isin(live))
+    )
     has_deletes = int(man.get("n_deleted", 0)) > 0
     del_root = os.path.join(paths.root, "deletes")
     del_epoch = int(man.get("delete_epoch", 0))
@@ -420,12 +441,14 @@ def near_topk(
         return empty
     all_terms = sorted({t for _, a, b, _ in live_qs for t in (a, b)})
 
-    pos_dir = os.path.join(paths.root, "positions")
-    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
     man = read_manifest(paths)
-    live = man.get("positions_segments")
-    if live:
-        rows = rows.filter(F.col("seg").isin(sorted(live)))
+    live = require_positions(man)
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = (
+        spark.read.parquet(pos_dir)
+        .filter(F.col("term").isin(all_terms))
+        .filter(F.col("seg").isin(live))
+    )
     has_deletes = int(man.get("n_deleted", 0)) > 0
     del_root = os.path.join(paths.root, "deletes")
     del_epoch = int(man.get("delete_epoch", 0))
@@ -737,12 +760,14 @@ def span_near_topk(
         return empty
     all_terms = sorted({t for _, ts, _ in live_qs for t in ts})
 
-    pos_dir = os.path.join(paths.root, "positions")
-    rows = spark.read.parquet(pos_dir).filter(F.col("term").isin(all_terms))
     man = read_manifest(paths)
-    live = man.get("positions_segments")
-    if live:
-        rows = rows.filter(F.col("seg").isin(sorted(live)))
+    live = require_positions(man)
+    pos_dir = os.path.join(paths.root, "positions")
+    rows = (
+        spark.read.parquet(pos_dir)
+        .filter(F.col("term").isin(all_terms))
+        .filter(F.col("seg").isin(live))
+    )
     has_deletes = int(man.get("n_deleted", 0)) > 0
     del_root = os.path.join(paths.root, "deletes")
     del_epoch = int(man.get("delete_epoch", 0))

@@ -275,3 +275,21 @@ def test_span_near_index_matches_relational(spark, small_docs, small_index):
             ).collect()
         ]
     assert idx == sorted(rel) and idx
+
+
+def test_positional_query_raises_on_positionless_segments(spark, small_docs, tmp_path):
+    """A phrase/NEAR/span query on an index whose tf segments lack
+    positions must raise (Lucene IllegalStateException parity), never
+    silently drop those segments' docs."""
+    import pytest
+
+    from mtix_spark.index.build import build_index
+    from mtix_spark.index.positions import near_topk, phrase_topk, span_near_topk
+
+    idx = build_index(spark, small_docs, str(tmp_path / "nopos"), n_segments=3)
+    with pytest.raises(ValueError, match="lacking positions"):
+        phrase_topk(spark, idx, [(1, "a b")], k=5).collect()
+    with pytest.raises(ValueError, match="lacking positions"):
+        near_topk(spark, idx, [(1, "a", "b", 2)], k=5).collect()
+    with pytest.raises(ValueError, match="lacking positions"):
+        span_near_topk(spark, idx, [(1, ["a", "b"], 2)], k=5).collect()
