@@ -1780,6 +1780,33 @@ def q_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_total_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count collectors straight off the PHYSICAL posting sets (doc-id
+    cells only — tf/block-max columns pruned). Counts are dense-id-
+    agnostic, so this shares q_total_hits's oracle unchanged."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import total_hits_index
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_thidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    dis = total_hits_index(spark, paths, FIXED_QUERIES, conjunctive=False)
+    con = total_hits_index(
+        spark, paths, [(qid + 100, t) for qid, t in FIXED_QUERIES], conjunctive=True
+    )
+    return dis.unionByName(con).select(
+        "query_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term score decomposition of each top-k hit (Lucene explain()):
     tf, df, idf, tf-saturation, and contribution, whose per-doc sum is the
@@ -2570,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_topk": q_suggest_topk,
         "span_near": q_span_near,
         "total_hits": q_total_hits,
+        "total_hits_index": q_total_hits_index,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
         "synonym_topk": q_synonym_topk,
@@ -2837,6 +2865,7 @@ GROUP BY 1
         "suggest_topk": _suggest_oracle(),
         "span_near": _span_near_oracle(),
         "total_hits": _total_hits_oracle(),
+        "total_hits_index": _total_hits_oracle(),
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),
         "synonym_topk": _synonym_oracle(),

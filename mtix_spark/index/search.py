@@ -1117,3 +1117,50 @@ def lm_dirichlet_index(
         dl = dl.join(dead, "doc_id", "left_anti")
     total = int(dl.agg(F.sum("dl")).collect()[0][0])
     return lm_dirichlet_brute(tf, dl, qdf, total, mu=mu, k=k)
+
+
+def total_hits_index(
+    spark: SparkSession,
+    paths: "IndexPaths",
+    queries: list[tuple[int, str]],
+    conjunctive: bool = False,
+) -> DataFrame:
+    """(query_id, n_hits) — matching-doc counts straight off the posting
+    sets (IndexSearcher.count over the physical index): disjunctive =
+    count of the union, conjunctive = count of the intersection. Touches
+    only doc-id cells (tfs/block-max columns pruned from the scan);
+    tombstones anti-join out so counts match a rebuilt index."""
+    from mtix_spark.index.build import read_manifest
+
+    qdf = _queries_df(spark, queries)
+    qt = query_terms(qdf)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    ids = term_doc_ids(spark, paths, terms)
+    man = read_manifest(paths)
+    if int(man.get("n_deleted", 0)) > 0:
+        import os as _os
+
+        dead = spark.read.parquet(_os.path.join(paths.root, "deletes")).select(
+            "doc_id"
+        )
+        ids = ids.join(dead, "doc_id", "left_anti")
+    hit = ids.join(F.broadcast(qt), "term")
+    if conjunctive:
+        n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+        per_doc = hit.groupBy("query_id", "doc_id").agg(
+            F.count(F.lit(1)).alias("n_match")
+        )
+        counted = (
+            per_doc.join(F.broadcast(n_terms), "query_id")
+            .filter(F.col("n_match") == F.col("n_terms"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+    else:
+        counted = hit.groupBy("query_id").agg(
+            F.countDistinct("doc_id").alias("n_hits")
+        )
+    all_q = qdf.select("query_id").distinct()
+    return all_q.join(counted, "query_id", "left").select(
+        "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    )

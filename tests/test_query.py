@@ -235,3 +235,40 @@ def test_search_after_pages_partition_deep_ranking(spark):
     # identical docs tie on score — the cursor must split the tie group
     # exactly where the deep ranking does (doc_id tiebreak)
     assert got == want
+
+
+def test_total_hits_index_respects_deletes(spark, small_docs, tmp_path):
+    """Physical count collector equals the relational counts, and after a
+    tombstone it equals a fresh build without the doc."""
+    from mtix_spark.index.build import build_index
+    from mtix_spark.index.deletes import delete_docs
+    from mtix_spark.index.search import total_hits_index
+    from mtix_spark.query import total_hits
+
+    idx = build_index(spark, small_docs, str(tmp_path / "thidx"), n_segments=3)
+    qs = [(1, "index_merge hash_tree"), (2, "zz_absent")]
+    rel = {
+        r["query_id"]: r["n_hits"]
+        for r in total_hits(small_docs, qs, text_col="content").collect()
+    }
+    phys = {
+        r["query_id"]: r["n_hits"]
+        for r in total_hits_index(spark, idx, qs).collect()
+    }
+    assert phys == rel and rel[1] > 0 and rel[2] == 0
+
+    victim = (
+        small_docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    )
+    delete_docs(spark, idx, [victim])
+    after = {
+        r["query_id"]: r["n_hits"]
+        for r in total_hits_index(spark, idx, qs).collect()
+    }
+    fresh = {
+        r["query_id"]: r["n_hits"]
+        for r in total_hits(
+            small_docs.filter(F.col("doc_id") != victim), qs, text_col="content"
+        ).collect()
+    }
+    assert after == fresh
