@@ -1807,6 +1807,49 @@ def q_total_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOOKUP_IDS = [1, 2, 3, 5, 8]
+
+
+def q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-fields point lookup (IndexReader.document()): fetch the
+    requested docs' stored fields off the doc-range-pruned docmap; the
+    returned dl and sha256 must equal the relational token count and
+    content hash — the north-rule per-row invariant, served from the
+    index instead of the source table."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import get_docs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_dlidx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    dense = [
+        int(r["dense_id"])
+        for r in docmap.filter(F.col("orig_id").isin(LOOKUP_IDS)).collect()
+    ]
+    got = get_docs(spark, paths, dense)
+    return (
+        got.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.col("lang"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("content_sha256").alias("content_sha"),
+        )
+    )
+
+
 def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term score decomposition of each top-k hit (Lucene explain()):
     tf, df, idf, tf-saturation, and contribution, whose per-doc sum is the
@@ -2598,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "total_hits": q_total_hits,
         "total_hits_index": q_total_hits_index,
+        "doc_lookup": q_doc_lookup,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
         "synonym_topk": q_synonym_topk,
@@ -2866,6 +2910,7 @@ GROUP BY 1
         "span_near": _span_near_oracle(),
         "total_hits": _total_hits_oracle(),
         "total_hits_index": _total_hits_oracle(),
+        "doc_lookup": f"SELECT doc_id, lang, len({TOK.format(c='text')})::BIGINT AS dl, sha256(text) AS content_sha FROM documents WHERE doc_id IN ({', '.join(map(str, LOOKUP_IDS))})",
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),
         "synonym_topk": _synonym_oracle(),

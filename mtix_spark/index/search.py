@@ -1164,3 +1164,30 @@ def total_hits_index(
     return all_q.join(counted, "query_id", "left").select(
         "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
     )
+
+
+def get_docs(
+    spark: SparkSession, paths: "IndexPaths", doc_ids: list[int]
+) -> DataFrame:
+    """Stored-fields lookup by dense doc id (IndexReader.document()):
+    (doc_id, dl, repo, path, commit, lang, content_sha256) for the
+    requested ids. The doc_id IN-filter pushes into the docmap parquet
+    scan, and because docmap partitions are doc-range-disjoint (`seg=K`
+    holds one contiguous id range) the scan prunes to the few segments
+    the ids fall in — a point lookup, not a corpus pass. Tombstoned docs
+    return no row (a deleted doc is gone from the reader's view)."""
+    from mtix_spark.index.build import read_manifest
+
+    ids = sorted({int(i) for i in doc_ids})
+    dm = spark.read.parquet(paths.docmap).filter(F.col("doc_id").isin(ids))
+    man = read_manifest(paths)
+    if int(man.get("n_deleted", 0)) > 0:
+        import os as _os
+
+        dead = spark.read.parquet(_os.path.join(paths.root, "deletes")).select(
+            "doc_id"
+        )
+        dm = dm.join(dead, "doc_id", "left_anti")
+    return dm.select(
+        "doc_id", "dl", "repo", "path", "commit", "lang", "content_sha256"
+    )

@@ -381,3 +381,26 @@ def test_index_stats(spark, small_index):
     assert sum(r["n_docs"] for r in rows) == 1000
     assert all(r["source"] == "docs" for r in rows)
     assert all(r["bytes_per_posting"] and r["bytes_per_posting"] < 10 for r in rows)
+
+
+def test_get_docs_point_lookup_and_deletes(spark, small_docs, tmp_path):
+    """Stored-fields lookup returns the requested rows; tombstoned ids
+    return nothing (the reader's view)."""
+    from mtix_spark.index.build import build_index
+    from mtix_spark.index.deletes import delete_docs
+    from mtix_spark.index.search import get_docs
+
+    idx = build_index(spark, small_docs, str(tmp_path / "gdidx"), n_segments=3)
+    want = {int(r["doc_id"]) for r in small_docs.select("doc_id").take(3)}
+    got = get_docs(spark, idx, sorted(want) + [10**9]).collect()
+    assert {int(r["doc_id"]) for r in got} == want  # unknown id -> no row
+    srcmap = {
+        int(r["doc_id"]): r["content_sha256"]
+        for r in small_docs.select("doc_id", "content_sha256").collect()
+    }
+    for r in got:
+        assert r["content_sha256"] == srcmap[int(r["doc_id"])]
+    victim = sorted(want)[0]
+    delete_docs(spark, idx, [victim])
+    left = {int(r["doc_id"]) for r in get_docs(spark, idx, sorted(want)).collect()}
+    assert left == want - {victim}
