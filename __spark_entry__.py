@@ -104,6 +104,49 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IDX_CACHE: dict[tuple, tuple] = {}
+
+
+def _docs_index(
+    spark: SparkSession, sf_dir: str, positions: bool = False, private: bool = False
+):
+    """Standard 4-segment index over the documents corpus (dense ids by
+    (repo, path, commit) rank; the original doc_id rides in `path`).
+    Read-only entries share ONE cached build per (session, sf_dir) — the
+    build is deterministic, so reuse cannot change any result, it only
+    removes ~10 duplicate builds from the driver's correctness gate.
+    Entries that MUTATE the index (tombstones, merged lists, compaction)
+    pass private=True for a throwaway copy."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.positions import build_positions
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = None if private else _IDX_CACHE.get(key)
+    if cached is not None:
+        paths, has_pos, with_ids = cached
+        if positions and not has_pos:
+            build_positions(spark, with_ids, paths)
+            _IDX_CACHE[key] = (paths, True, with_ids)
+        return paths
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_idx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    if positions:
+        build_positions(spark, with_ids, paths)
+    if not private:
+        _IDX_CACHE[key] = (paths, positions, with_ids)
+    return paths
+
+
+
 def _bm25_over_documents(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     """Top-k BM25 for the fixed query set over `documents`.
 
@@ -130,21 +173,14 @@ def _bm25_over_documents(spark: SparkSession, sf_dir: str, mode: str) -> DataFra
         qdf = spark.createDataFrame(FIXED_QUERIES, "query_id long, text string")
         out = bm25_brute(tf, dl, qdf, n_docs, avgdl, k=TOPK)
     else:
-        from mtix_spark.index.build import assign_doc_ids, build_index, merge_postings
+        from mtix_spark.index.build import merge_postings
         from mtix_spark.index.search import bm25_topk_segments, merged_topk
 
-        corpus = docs.select(
-            F.lit("documents").alias("repo"),
-            F.col("doc_id").cast("string").alias("path"),
-            F.lit("0").alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
-        with_ids = assign_doc_ids(corpus, 8)
         # dense ids assigned by (repo, path, commit) order != original doc_id;
-        # map back through the docmap (path carries the original id)
-        idx_dir = tempfile.mkdtemp(prefix="mtix_idx_")
-        paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+        # map back through the docmap (path carries the original id).
+        # merged/deleted MUTATE the index -> private build; plain index mode
+        # shares the session-cached one
+        paths = _docs_index(spark, sf_dir, private=mode in ("merged", "deleted"))
         # fetch k plus a tie margin: the engine tie-breaks on dense ids, the
         # oracle on original ids — a rounded-score tie exactly at rank k
         # could otherwise select a different (equally valid) doc set. With
@@ -415,21 +451,9 @@ def q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta+varint postings; vectorized adjacency-chain kernel), remapped from
     dense ids to original doc_ids. Shares q_phrase_match's oracle — the
     index path and the SQL oracle must agree row-for-row on (doc, count)."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
-    from mtix_spark.index.positions import build_positions, phrase_topk
+    from mtix_spark.index.positions import phrase_topk
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_pidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
-    build_positions(spark, with_ids, paths)
+    paths = _docs_index(spark, sf_dir, positions=True)
     res = phrase_topk(spark, paths, FIXED_PHRASES, k=1_000_000)  # full set
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
@@ -1711,20 +1735,9 @@ def q_suggest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the form a serving system runs: one dictionary relation, no corpus
     access. Shares the relational oracle (dictionary df is corpus df)."""
     from mtix_spark.expand import suggest_terms
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import SegmentSearcher
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_sidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     s = SegmentSearcher(spark, paths, persist=False)
     return suggest_terms(s.dictionary, SUGGEST_SOURCES, max_edits=2, top=3)
 
@@ -1784,20 +1797,9 @@ def q_total_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count collectors straight off the PHYSICAL posting sets (doc-id
     cells only — tf/block-max columns pruned). Counts are dense-id-
     agnostic, so this shares q_total_hits's oracle unchanged."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import total_hits_index
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_thidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     dis = total_hits_index(spark, paths, FIXED_QUERIES, conjunctive=False)
     con = total_hits_index(
         spark, paths, [(qid + 100, t) for qid, t in FIXED_QUERIES], conjunctive=True
@@ -1816,20 +1818,9 @@ def q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned dl and sha256 must equal the relational token count and
     content hash — the north-rule per-row invariant, served from the
     index instead of the source table."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import get_docs
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_dlidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
     )
@@ -1920,22 +1911,9 @@ def q_boolean_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean query language executed over the PHYSICAL segment index
     (pruning-disabled BM25 kernels + posting-set semi/anti joins + phrase
     index + docmap metadata filters) — shares q_boolean_search's oracle."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
-    from mtix_spark.index.positions import build_positions
     from mtix_spark.query import boolean_search_index
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_bidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
-    build_positions(spark, with_ids, paths)
+    paths = _docs_index(spark, sf_dir, positions=True)
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
     )
@@ -1977,20 +1955,9 @@ def _expanded_index_topk(
         expand_wildcard,
         search_expanded_index,
     )
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import SegmentSearcher
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_xidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     s = SegmentSearcher(spark, paths, persist=False)
     if mode == "wildcard":
         exp = expand_wildcard(s.dictionary, WILDCARD_PATTERNS)
@@ -2041,20 +2008,9 @@ def q_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-Dirichlet over the PHYSICAL index (decoded postings + docmap
     lengths through the same rank decomposition) — shares the relational
     lm_dirichlet_topk oracle; usual dense-id tie margin."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import lm_dirichlet_index
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_lmidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     res = lm_dirichlet_index(spark, paths, FIXED_QUERIES, k=TOPK * 5)
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
@@ -2104,20 +2060,9 @@ def q_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfs), blended regroup bounded by posting volume, docmap doc lengths.
     Shares q_synonym_topk's oracle."""
     from mtix_spark.expand import synonym_topk_index
-    from mtix_spark.index.build import assign_doc_ids, build_index
     from mtix_spark.index.search import SegmentSearcher
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_sidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    paths = _docs_index(spark, sf_dir)
     s = SegmentSearcher(spark, paths, persist=False)
     res = synonym_topk_index(s, SYN_QUERIES, SYN_GROUPS, k=TOPK * 5)  # tie margin
     docmap = spark.read.parquet(paths.docmap).select(
@@ -2229,21 +2174,9 @@ def q_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity search via the PHYSICAL positional index (packed-position
     searchsorted range counting) — shares q_near_match's oracle; the index
     path and the SQL twin must agree row-for-row on (doc, pair count)."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
-    from mtix_spark.index.positions import build_positions, near_topk
+    from mtix_spark.index.positions import near_topk
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_nidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
-    build_positions(spark, with_ids, paths)
+    paths = _docs_index(spark, sf_dir, positions=True)
     res = near_topk(spark, paths, NEAR_PAIRS, k=1_000_000)  # full set
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
@@ -2496,21 +2429,9 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical SpanNear over the positional index (vectorized greedy
     chain) — shares q_span_near's oracle."""
-    from mtix_spark.index.build import assign_doc_ids, build_index
-    from mtix_spark.index.positions import build_positions, span_near_topk
+    from mtix_spark.index.positions import span_near_topk
 
-    docs = _tbl(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("documents").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    with_ids = assign_doc_ids(corpus, 8)
-    idx_dir = tempfile.mkdtemp(prefix="mtix_spidx_")
-    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
-    build_positions(spark, with_ids, paths)
+    paths = _docs_index(spark, sf_dir, positions=True)
     res = span_near_topk(spark, paths, SPAN_QUERIES, k=1_000_000)  # full set
     docmap = spark.read.parquet(paths.docmap).select(
         F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
