@@ -504,13 +504,15 @@ BOOL_QUERIES = [
 def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style boolean query language: +must, -not, \"phrase\" filters
     over BM25 scoring (mtix_spark.query.boolean_search)."""
-    from mtix_spark.query import boolean_search
+    from mtix_spark.query import _bool_ctx, boolean_search
 
     docs = _tbl(spark, sf_dir, "documents")
+    tf, dl, n_docs, avgdl = _bool_ctx(docs, "doc_id", "text")
+    ctx = (tf.persist(), dl.persist(), n_docs, avgdl)  # one corpus scan
     outs = []
     for qid, q in BOOL_QUERIES:
         outs.append(
-            boolean_search(docs, q, k=TOPK).select(
+            boolean_search(docs, q, k=TOPK, ctx=ctx).select(
                 F.lit(qid).cast("long").alias("query_id"), "rank", "doc_id", "score"
             )
         )

@@ -183,15 +183,38 @@ def boolean_search_index(spark, paths, query: str, k: int = 100) -> DataFrame:
     )
 
 
+def _bool_ctx(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, int, float]:
+    """Shared scoring relations for boolean queries: (tf, dl, n_docs,
+    avgdl). Compute once per corpus and pass to `boolean_search` when
+    running a batch — each query then only adds its own term-filtered
+    joins instead of re-deriving (and re-scanning) the token stream."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(F.col(text_col))).alias("dl")
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
+    return tf, dl, n_docs, avgdl
+
+
 def boolean_search(
     docs: DataFrame,
     query: str,
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ctx: tuple | None = None,
 ) -> DataFrame:
     """Execute one boolean query → (rank, doc_id, score) top-k under the
-    engine tie-break (score DESC, doc_id ASC)."""
+    engine tie-break (score DESC, doc_id ASC). `ctx` (from `_bool_ctx`,
+    ideally with tf/dl persisted) shares the corpus relations across a
+    query batch."""
     from mtix_spark.index.positions import phrase_match_relational
 
     bq = parse_query(query)
@@ -210,16 +233,9 @@ def boolean_search(
         cond = F.col(col).cast("string") == value
         filtered = filtered.filter(~cond if neg else cond)
 
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf, dl, n_docs, avgdl = ctx if ctx is not None else _bool_ctx(
+        docs, id_col, text_col
     )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(tokenize(F.col(text_col))).alias("dl")
-    )
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0]
 
     hits = tf.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
