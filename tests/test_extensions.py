@@ -376,3 +376,53 @@ def test_stratified_sample_deterministic(spark):
         .count()
     )
     assert 0.3 * n_en < k_en < 0.7 * n_en
+
+
+def test_stream_index_positions_and_phrase(spark, tmp_path):
+    """Positional build over a STREAM-built index (seg ids 1e6+, non-
+    uniform doc ranges -> the manifest range-join geometry branch):
+    before build_positions a phrase query raises; after, phrase results
+    equal the relational twin over the same rows."""
+    import pytest
+
+    from mtix_spark.corpus import synth_corpus
+    from mtix_spark.index.build import IndexPaths
+    from mtix_spark.index.positions import (
+        build_positions,
+        phrase_match_relational,
+        phrase_topk,
+    )
+    from mtix_spark.streaming.ingest import stream_index_ingest
+
+    src = str(tmp_path / "src")
+    synth_corpus(spark, 200, n_parts=8).write.parquet(src)
+    idx = str(tmp_path / "pidx")
+    q = stream_index_ingest(spark, src, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    paths = IndexPaths(idx)
+
+    with pytest.raises(ValueError, match="lacking positions"):
+        phrase_topk(spark, paths, [(1, "a b")], k=5).collect()
+
+    # docs carrying the STREAM's dense ids: docmap path -> source content
+    dm = spark.read.parquet(paths.docmap).select("doc_id", "path")
+    srcdf = spark.read.parquet(src).select(
+        "path", "content"
+    )
+    docs = dm.join(srcdf, "path").select("doc_id", "content")
+    build_positions(spark, docs, paths)
+
+    import re
+
+    row = docs.select("content").first()
+    toks = [t for t in re.split("[^a-z0-9_]+", row["content"].lower()) if t]
+    phrase = f"{toks[0]} {toks[1]}"
+    idx_res = sorted(
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_topk(spark, paths, [(1, phrase)], k=10**6).collect()
+    )
+    rel = sorted(
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_match_relational(docs, phrase).collect()
+    )
+    assert idx_res == rel and idx_res
