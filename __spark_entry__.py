@@ -1811,6 +1811,67 @@ def q_total_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result grouping / field collapse (Lucene grouping module): top
+    groups by best hit, top docs per group, over the lang field."""
+    from mtix_spark.query import grouped_bm25
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return grouped_bm25(docs, FIXED_QUERIES, "lang", n_groups=3, k_per_group=3)
+
+
+def _grouped_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    toks = TOK.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+q(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM q JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+grouped AS (
+  SELECT s.query_id, doc.lang::VARCHAR AS "group", s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY s.query_id, doc.lang
+           ORDER BY s.score DESC, s.doc_id
+         )::BIGINT AS rank
+  FROM scored s JOIN documents doc USING (doc_id)
+),
+tg AS (
+  SELECT query_id, "group",
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, "group"
+         )::BIGINT AS grank
+  FROM grouped WHERE rank = 1
+)
+SELECT g.query_id, g."group", tg.grank, g.rank, g.doc_id, g.score
+FROM grouped g JOIN tg USING (query_id, "group")
+WHERE g.rank <= 3 AND tg.grank <= 3
+"""
+
+
 LOOKUP_IDS = [1, 2, 3, 5, 8]
 
 
@@ -2565,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits": q_total_hits,
         "total_hits_index": q_total_hits_index,
         "doc_lookup": q_doc_lookup,
+        "grouped_search": q_grouped_search,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
         "synonym_topk": q_synonym_topk,
@@ -2833,6 +2895,7 @@ GROUP BY 1
         "span_near": _span_near_oracle(),
         "total_hits": _total_hits_oracle(),
         "total_hits_index": _total_hits_oracle(),
+        "grouped_search": _grouped_oracle(),
         "doc_lookup": f"SELECT doc_id, lang, len({TOK.format(c='text')})::BIGINT AS dl, sha256(text) AS content_sha FROM documents WHERE doc_id IN ({', '.join(map(str, LOOKUP_IDS))})",
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),

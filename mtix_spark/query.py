@@ -473,3 +473,57 @@ def bm25_search_after(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def grouped_bm25(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    group_col: str,
+    n_groups: int = 3,
+    k_per_group: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Result grouping (Lucene grouping module / field collapsing): per
+    query, the top `n_groups` groups ranked by their BEST hit's score
+    (ties: group value ASC), and within each group the top `k_per_group`
+    docs under the engine tie-break. Returns (query_id, group, grank,
+    rank, doc_id, score). `k_per_group=1` is field collapse.
+
+    Plan shape: the scored relation (same expanded-disjunction BM25 as
+    every ranking entry) joins the group column off the docs relation,
+    then two window passes — docs within (query, group), then groups
+    within query by their rank-1 score. Both windows key on bounded
+    partitions (groups x queries), never a global sort."""
+    from mtix_spark.expand import expanded_bm25
+
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in sorted(set(_toks(text)))],
+        "query_id long, term string",
+    )
+    scored = expanded_bm25(docs, q, k=2**31 - 1, id_col=id_col, text_col=text_col)
+    grouped = scored.drop("rank").join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).cast("string").alias("group")
+        ),
+        "doc_id",
+    )
+    w_doc = Window.partitionBy("query_id", "group").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    in_group = grouped.withColumn("rank", F.row_number().over(w_doc).cast("long"))
+    best = in_group.filter(F.col("rank") == 1).select(
+        "query_id", "group", F.col("score").alias("best_score")
+    )
+    w_grp = Window.partitionBy("query_id").orderBy(
+        F.desc("best_score"), F.asc("group")
+    )
+    top_groups = best.withColumn(
+        "grank", F.row_number().over(w_grp).cast("long")
+    ).filter(F.col("grank") <= n_groups)
+    return (
+        in_group.filter(F.col("rank") <= k_per_group)
+        .join(top_groups.select("query_id", "group", "grank"), ["query_id", "group"])
+        .select("query_id", "group", "grank", "rank", "doc_id", "score")
+    )

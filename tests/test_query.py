@@ -272,3 +272,30 @@ def test_total_hits_index_respects_deletes(spark, small_docs, tmp_path):
         ).collect()
     }
     assert after == fresh
+
+
+def test_grouped_bm25_collapse_semantics(spark):
+    """Groups rank by their best hit; k_per_group=1 is field collapse;
+    a group past n_groups disappears entirely."""
+    from mtix_spark.query import grouped_bm25
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple", "a"),   # strongest in group a
+            (1, "apple", "a"),
+            (2, "apple apple apple", "b"),  # strongest overall
+            (3, "apple", "c"),
+            (4, "other", "d"),         # no match -> group d absent
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = grouped_bm25(
+        docs, [(1, "apple")], "lang", n_groups=2, k_per_group=1
+    ).collect()
+    got = {(r["group"], r["grank"], r["rank"], r["doc_id"]) for r in out}
+    # b's best (doc 2, tf=3) beats a's best (doc 0, tf=2 but shorter dl?):
+    # verify group order purely from the returned granks
+    by_grank = {r["grank"]: r["group"] for r in out}
+    assert set(by_grank.values()) <= {"a", "b"}  # c (weakest) cut, d absent
+    assert all(r["rank"] == 1 for r in out)  # collapse: one doc per group
+    assert len(out) == 2
