@@ -1701,6 +1701,35 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wildcard_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard under the CONSTANT_SCORE rewrite (Lucene's default): the
+    candidate set with score 1.0 — no scoring relations touched."""
+    from mtix_spark.expand import expand_wildcard, expanded_constant_score
+    from mtix_spark.functions.text import tokenize as _tok
+
+    docs = _tbl(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(F.array_distinct(_tok(F.col("text")))).alias("term")
+    ).distinct()
+    exp = expand_wildcard(vocab, WILDCARD_PATTERNS)
+    return expanded_constant_score(docs, exp)
+
+
+def _wildcard_constant_oracle() -> str:
+    from mtix_spark.expand import wildcard_to_like
+
+    toks = TOK.format(c="text")
+    vals = ", ".join(f"({q}, '{wildcard_to_like(p)}')" for q, p in WILDCARD_PATTERNS)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+pats(query_id, pat) AS (VALUES {vals})
+SELECT DISTINCT p.query_id, t.doc_id, 1.0::DOUBLE AS score
+FROM toks t JOIN pats p ON t.term LIKE p.pat
+"""
+
+
 def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp query (Lucene RegexpQuery): anchored-regex expansion against
     the vocabulary (literal-prefix pruned when sargable), then disjunctive
@@ -2620,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
+        "wildcard_constant": q_wildcard_constant,
         "range_topk": q_range_topk,
         "suggest_topk": q_suggest_topk,
         "span_near": q_span_near,
@@ -2890,6 +2920,7 @@ GROUP BY 1
         "wildcard_topk": _wildcard_oracle(),
         "fuzzy_topk": _fuzzy_oracle(),
         "regexp_topk": _regexp_oracle(),
+        "wildcard_constant": _wildcard_constant_oracle(),
         "range_topk": _range_oracle(),
         "suggest_topk": _suggest_oracle(),
         "span_near": _span_near_oracle(),

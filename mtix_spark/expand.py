@@ -617,3 +617,26 @@ def suggest_from_corpus(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     return suggest_terms(vocab_df, sources, max_edits, top)
+
+
+def expanded_constant_score(
+    docs: DataFrame,
+    expanded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONSTANT_SCORE rewrite (Lucene's default for multi-term queries):
+    the expansion's candidate doc set with score 1.0 per doc — no tf/idf
+    work at all, so the plan touches only the token->doc relation (a
+    semi-join against the broadcast expansion) and skips dl/df/avgdl
+    entirely. Returns (query_id, doc_id, score)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(expanded.distinct()), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    )
