@@ -498,6 +498,8 @@ BOOL_QUERIES = [
     (6, "scan value -lang:en +table"),
     (7, "table^3 hash scan^0.5"),
     (8, "+join^2 value -slow"),
+    (9, '"hash join"~2 value'),       # sloppy-phrase filter (ordered span)
+    (10, '-"table scan"~3 +part'),    # negated sloppy phrase
 ]
 
 
@@ -553,10 +555,23 @@ def _boolean_oracle() -> str:
                 f"WHERE t0.doc_id = s.doc_id AND t0.term = '{words[0]}')"
             )
 
+        def span_exists(words: list[str], slop: int) -> str:
+            n = len(words)
+            chain = f"({_span_chain_sql(words[1:], 't1', 'stream')})"
+            return (
+                f"(SELECT 1 FROM stream t1 WHERE t1.term = '{words[0]}'"
+                f" AND t1.doc_id = s.doc_id"
+                f" AND {chain} - t1.pos - {n - 1} <= {slop})"
+            )
+
         for ph in bq.phrases:
             conds.append(f"EXISTS {phrase_exists(ph)}")
         for ph in bq.not_phrases:
             conds.append(f"NOT EXISTS {phrase_exists(ph)}")
+        for ph, slop in bq.slop_phrases:
+            conds.append(f"EXISTS {span_exists(ph, slop)}")
+        for ph, slop in bq.not_slop_phrases:
+            conds.append(f"NOT EXISTS {span_exists(ph, slop)}")
         for col, value, neg in bq.filters:
             ex = (
                 f"EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = s.doc_id "
@@ -2535,16 +2550,16 @@ def q_span_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_chain_sql(terms: list[str], anchor: str = "t1") -> str:
+def _span_chain_sql(terms: list[str], anchor: str = "t1", table: str = "toks") -> str:
     """Correlated greedy-chain scalar subquery: min position of terms[-1]
     strictly after the chain over terms[:-1] (recursive nesting)."""
     if len(terms) == 1:
         prev = f"{anchor}.pos"
     else:
-        prev = f"({_span_chain_sql(terms[:-1], anchor)})"
+        prev = f"({_span_chain_sql(terms[:-1], anchor, table)})"
     t = terms[-1]
     return (
-        f"SELECT min(x.pos) FROM toks x WHERE x.doc_id = {anchor}.doc_id"
+        f"SELECT min(x.pos) FROM {table} x WHERE x.doc_id = {anchor}.doc_id"
         f" AND x.term = '{t}' AND x.pos > {prev}"
     )
 

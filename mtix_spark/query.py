@@ -9,6 +9,9 @@ that composes the ranking and filtering primitives:
   - "a b c"       → PHRASE filter: doc must contain the exact token
                     sequence; its terms also score (+"..." is the same;
                     -"..." excludes docs containing the phrase)
+  - "a b"~k       → SLOPPY phrase (Lucene slop syntax): ordered span with
+                    total gap <= k (anchored-greedy SpanNear semantics);
+                    terms score, -"..."~k negates
   - col:value     → metadata filter on a non-text column (e.g. lang:en);
                     -col:value negates. Non-scoring, applied as a plain
                     pushdown predicate on the docs relation.
@@ -38,7 +41,7 @@ from mtix_spark.functions.text import TOKEN_SPLIT_RE, tokenize
 from mtix_spark.index.build import K1, B
 from mtix_spark.index.search import SCORE_DECIMALS
 
-_CLAUSE_RE = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
+_CLAUSE_RE = re.compile(r'([+-]?)"([^"]*)"(~(\d+))?|([+-]?)(\S+)')
 
 
 @dataclass
@@ -48,6 +51,9 @@ class BoolQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     not_phrases: list[list[str]] = field(default_factory=list)
+    # sloppy phrases `"a b"~k`: ordered span within total gap <= k
+    slop_phrases: list[tuple[list[str], int]] = field(default_factory=list)
+    not_slop_phrases: list[tuple[list[str], int]] = field(default_factory=list)
     filters: list[tuple[str, str, bool]] = field(default_factory=list)  # (col, value, negated)
     boosts: dict[str, float] = field(default_factory=dict)  # term -> idf multiplier
 
@@ -55,6 +61,8 @@ class BoolQuery:
     def scoring_terms(self) -> list[str]:
         ts = set(self.should) | set(self.must)
         for ph in self.phrases:
+            ts |= set(ph)
+        for ph, _ in self.slop_phrases:
             ts |= set(ph)
         return sorted(ts)
 
@@ -68,16 +76,23 @@ def parse_query(q: str) -> BoolQuery:
     parsing of the remainder; empty clauses are dropped."""
     bq = BoolQuery()
     for m in _CLAUSE_RE.finditer(q):
-        if m.group(2) is not None:  # quoted phrase
+        if m.group(2) is not None:  # quoted phrase, optional ~slop
             words = _toks(m.group(2))
             if not words:
                 continue
-            if m.group(1) == "-":
+            slop = int(m.group(4)) if m.group(4) else 0
+            if slop > 0:
+                # `"a b"~k` (Lucene slop syntax): ordered span filter
+                if m.group(1) == "-":
+                    bq.not_slop_phrases.append((words, slop))
+                else:
+                    bq.slop_phrases.append((words, slop))
+            elif m.group(1) == "-":
                 bq.not_phrases.append(words)
             else:
                 bq.phrases.append(words)
         else:
-            raw = m.group(4)
+            raw = m.group(6)
             # query-time boost `term^2.5` (Lucene syntax): multiplies the
             # term's idf. Non-positive or unparsable boosts are ignored;
             # a boost on a -term is meaningless (non-scoring) and dropped.
@@ -89,7 +104,7 @@ def parse_query(q: str) -> BoolQuery:
                     raw, boost = bm.group(1), w
             if ":" in raw and not raw.startswith(":") and not raw.endswith(":"):
                 col, value = raw.split(":", 1)
-                bq.filters.append((col, value, m.group(3) == "-"))
+                bq.filters.append((col, value, m.group(5) == "-"))
                 continue
             words = _toks(raw)
             if not words:
@@ -97,10 +112,10 @@ def parse_query(q: str) -> BoolQuery:
             # a multi-token clause like c++ or foo.bar splits; the prefix
             # applies to every resulting term
             for w in words:
-                if m.group(3) == "-":
+                if m.group(5) == "-":
                     bq.must_not.append(w)
                     continue
-                if m.group(3) == "+":
+                if m.group(5) == "+":
                     bq.must.append(w)
                 else:
                     bq.should.append(w)
@@ -166,6 +181,15 @@ def boolean_search_index(spark, paths, query: str, k: int = 100) -> DataFrame:
     for ph in bq.not_phrases:
         m = phrase_topk(spark, paths, [(0, " ".join(ph))], k=_NO_PRUNE_K)
         scored = scored.join(m.select("doc_id"), "doc_id", "left_anti")
+    if bq.slop_phrases or bq.not_slop_phrases:
+        from mtix_spark.index.positions import span_near_topk
+
+        for ph, slop in bq.slop_phrases:
+            m = span_near_topk(spark, paths, [(0, ph, slop)], k=_NO_PRUNE_K)
+            scored = scored.join(m.select("doc_id"), "doc_id", "left_semi")
+        for ph, slop in bq.not_slop_phrases:
+            m = span_near_topk(spark, paths, [(0, ph, slop)], k=_NO_PRUNE_K)
+            scored = scored.join(m.select("doc_id"), "doc_id", "left_anti")
     if bq.filters:
         cols = sorted({c for c, _, _ in bq.filters})
         meta = spark.read.parquet(paths.docmap).select("doc_id", *cols)
@@ -291,6 +315,25 @@ def boolean_search(
             "doc_id",
             "left_anti",
         )
+    if bq.slop_phrases or bq.not_slop_phrases:
+        from mtix_spark.index.positions import span_near_relational
+
+        for ph, slop in bq.slop_phrases:
+            scored = scored.join(
+                span_near_relational(docs, ph, slop, id_col, text_col).select(
+                    "doc_id"
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        for ph, slop in bq.not_slop_phrases:
+            scored = scored.join(
+                span_near_relational(docs, ph, slop, id_col, text_col).select(
+                    "doc_id"
+                ),
+                "doc_id",
+                "left_anti",
+            )
 
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

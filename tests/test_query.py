@@ -299,3 +299,30 @@ def test_grouped_bm25_collapse_semantics(spark):
     assert set(by_grank.values()) <= {"a", "b"}  # c (weakest) cut, d absent
     assert all(r["rank"] == 1 for r in out)  # collapse: one doc per group
     assert len(out) == 2
+
+
+def test_sloppy_phrase_clause(spark):
+    """`"a b"~k` parses to a slop clause and filters by ordered span."""
+    from mtix_spark.query import boolean_search, parse_query
+
+    bq = parse_query('"hash join"~2 -"slow scan"~1 value')
+    assert bq.slop_phrases == [(["hash", "join"], 2)]
+    assert bq.not_slop_phrases == [(["slow", "scan"], 1)]
+    assert "hash" in bq.scoring_terms and "slow" not in bq.scoring_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash x join value"),       # span gap 1 <= 2 -> kept
+            (1, "hash a b c join value"),   # gap 3 -> dropped
+            (2, "join hash value"),         # wrong order -> dropped
+            (3, "hash join slow y scan"),   # span ok BUT slow..scan gap 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in boolean_search(docs, '"hash join"~2 value', k=10).collect()}
+    assert got == {0, 3}
+    got2 = {
+        r["doc_id"]
+        for r in boolean_search(docs, '"hash join"~2 -"slow scan"~1 value', k=10).collect()
+    }
+    assert got2 == {0}  # doc 3 excluded by the negated sloppy phrase
