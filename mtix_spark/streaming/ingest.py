@@ -292,3 +292,27 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    key_col: str = "content_sha256",
+    event_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each content hash,
+    drop every later duplicate (the streaming twin of
+    `dedup.exact_dedup_groups`, and the front gate a continuous ingestion
+    pipeline puts before `stream_index_ingest` so re-crawled bytes never
+    become postings).
+
+    `dropDuplicates` over a watermarked stream bounds the dedup state:
+    keys older than the watermark are evicted, so state is proportional
+    to the watermark window's key cardinality, not the corpus — the only
+    state discipline that survives 10^12 cumulative docs. Within the
+    window the guarantee is exact; a duplicate arriving after eviction
+    re-enters (cross-window dedup belongs to the batch operators over the
+    landed table)."""
+    return docs.withWatermark(event_col, watermark).dropDuplicates(
+        [key_col]
+    )

@@ -426,3 +426,62 @@ def test_stream_index_positions_and_phrase(spark, tmp_path):
         for r in phrase_match_relational(docs, phrase).collect()
     )
     assert idx_res == rel and idx_res
+
+
+def test_stream_dedup_drops_late_duplicates(spark, tmp_path):
+    """Watermarked streaming dedup keeps the first arrival per content
+    hash across micro-batches and drops re-crawls."""
+    import time
+
+    from mtix_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(src)
+    schema = "doc_id long, content_sha256 string, event_time timestamp"
+    raw = "doc_id long, content_sha256 string, ts string"
+    to_t = 'cast(ts as timestamp) AS event_time'
+    rows1 = [(1, "aaa", "2026-01-01 10:00:00"), (2, "bbb", "2026-01-01 10:00:01")]
+    rows2 = [
+        (3, "aaa", "2026-01-01 10:00:02"),  # duplicate of doc 1 -> dropped
+        (4, "ccc", "2026-01-01 10:00:03"),
+    ]
+    spark.createDataFrame(rows1, raw).selectExpr(
+        "doc_id", "content_sha256", to_t
+    ).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    spark.createDataFrame(rows2, raw).selectExpr(
+        "doc_id", "content_sha256", to_t
+    ).write.mode("append").parquet(src + "/b2")
+    q2 = (
+        stream_dedup(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    got = {
+        (r["doc_id"], r["content_sha256"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "aaa"), (2, "bbb"), (4, "ccc")}  # doc 3 deduped
