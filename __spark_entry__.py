@@ -1855,6 +1855,80 @@ def q_total_hits_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNIP_W = 8
+
+
+def q_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified highlighter: densest query-term window per top-k hit."""
+    from mtix_spark.index.positions import term_snippets
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return term_snippets(docs, FIXED_QUERIES, k=TOPK, window=SNIP_W, text_col="text")
+
+
+def _term_snippets_oracle() -> str:
+    toks = TOK.format(c="text")
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    w = SNIP_W
+    return f"""
+WITH toklists AS (SELECT doc_id, {toks} AS l FROM documents),
+stream AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM toklists
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stream GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(l)::DOUBLE AS dl FROM toklists),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+q(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, tf.doc_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(sum(
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * {K1 + 1.0})
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+             ), 6) DESC, tf.doc_id
+           ) AS rank
+    FROM q JOIN tf USING (term)
+    JOIN dfreq d USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY 1, 2
+  ) WHERE rank <= {TOPK}
+),
+qpos AS (
+  SELECT q.query_id, s.doc_id, s.pos FROM stream s
+  JOIN q USING (term) JOIN top t ON t.query_id = q.query_id AND t.doc_id = s.doc_id
+),
+counted AS (
+  SELECT a.query_id, a.doc_id, a.pos AS anchor, count(*)::BIGINT AS n_in_window
+  FROM qpos a JOIN qpos b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + {w}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, anchor, n_in_window FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, doc_id ORDER BY n_in_window DESC, anchor
+    ) AS r FROM counted
+  ) WHERE r = 1
+)
+SELECT b.query_id, b.doc_id, b.anchor::BIGINT AS best_pos, b.n_in_window,
+       array_to_string(l[b.anchor + 1 : b.anchor + {w}], ' ') AS snippet
+FROM best b JOIN toklists USING (doc_id)
+"""
+
+
 def q_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result grouping / field collapse (Lucene grouping module): top
     groups by best hit, top docs per group, over the lang field."""
@@ -2672,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits_index": q_total_hits_index,
         "doc_lookup": q_doc_lookup,
         "grouped_search": q_grouped_search,
+        "term_snippets": q_term_snippets,
         "bm25_explain": q_bm25_explain,
         "bm25_page2": q_bm25_page2,
         "synonym_topk": q_synonym_topk,
@@ -2942,6 +3017,7 @@ GROUP BY 1
         "total_hits": _total_hits_oracle(),
         "total_hits_index": _total_hits_oracle(),
         "grouped_search": _grouped_oracle(),
+        "term_snippets": _term_snippets_oracle(),
         "doc_lookup": f"SELECT doc_id, lang, len({TOK.format(c='text')})::BIGINT AS dl, sha256(text) AS content_sha FROM documents WHERE doc_id IN ({', '.join(map(str, LOOKUP_IDS))})",
         "bm25_explain": _explain_oracle(),
         "bm25_page2": _page2_oracle(),

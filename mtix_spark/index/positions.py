@@ -859,3 +859,84 @@ def span_near_topk(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def term_snippets(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Unified highlighter for TERM queries (Lucene UnifiedHighlighter's
+    best-passage selection, deterministic form): for each of a query's
+    top-k BM25 docs, the `window`-token span holding the MOST query-term
+    occurrences — anchored at a query-term position, ties to the earliest
+    anchor. Returns (query_id, doc_id, best_pos, n_in_window, snippet).
+
+    Plan: query-term positions (one posexplode, term IN-filtered) semi-
+    joined to the top-k relation, then a self-band-join counts occurrences
+    per anchor — input sized by the top-k docs' query-term positions, not
+    the corpus. Complements `phrase_snippets` (which anchors at the first
+    exact phrase hit)."""
+    from mtix_spark.expand import expanded_bm25
+
+    spark = docs.sparkSession
+    import re as _re
+
+    q = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, text in queries
+            for t in sorted({x for x in _re.split(TOKEN_SPLIT_RE, text.lower()) if x})
+        ],
+        "query_id long, term string",
+    )
+    top = expanded_bm25(docs, q, k=k, id_col=id_col, text_col=text_col).select(
+        "query_id", "doc_id"
+    )
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    qpos = (
+        stream.join(F.broadcast(q), "term")
+        .join(top, ["query_id", "doc_id"], "left_semi")
+        .select("query_id", "doc_id", "pos")
+    )
+    a = qpos.select("query_id", "doc_id", F.col("pos").alias("anchor"))
+    b = qpos.select(
+        F.col("query_id").alias("q2"), F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    counted = (
+        a.join(
+            b,
+            (a["query_id"] == b["q2"])
+            & (a["doc_id"] == b["d2"])
+            & (F.col("p2") >= F.col("anchor"))
+            & (F.col("p2") < F.col("anchor") + window),
+        )
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_in_window"), F.asc("anchor")
+    )
+    best = (
+        counted.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    return (
+        best.join(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("anchor").cast("long").alias("best_pos"),
+            F.col("n_in_window").cast("long").alias("n_in_window"),
+            F.concat_ws(
+                " ", F.slice(tokenize(F.col(text_col)), F.col("anchor") + 1, window)
+            ).alias("snippet"),
+        )
+    )

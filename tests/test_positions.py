@@ -293,3 +293,24 @@ def test_positional_query_raises_on_positionless_segments(spark, small_docs, tmp
         near_topk(spark, idx, [(1, "a", "b", 2)], k=5).collect()
     with pytest.raises(ValueError, match="lacking positions"):
         span_near_topk(spark, idx, [(1, ["a", "b"], 2)], k=5).collect()
+
+
+def test_term_snippets_picks_densest_window(spark):
+    from mtix_spark.index.positions import term_snippets
+
+    docs = spark.createDataFrame(
+        [
+            # densest window of "apple pear" terms starts at pos 5
+            (0, "apple x y z w apple pear apple q r"),
+            (1, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = term_snippets(
+        docs, [(1, "apple pear")], k=5, window=4, text_col="text"
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert set(rows) == {0}
+    r = rows[0]
+    assert r["best_pos"] == 5 and r["n_in_window"] == 3
+    assert r["snippet"] == "apple pear apple q"
