@@ -2687,7 +2687,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is correctness-gate-significant: the driver oracles the FIRST 50
+    # keys. Round-3 ordering puts the 43 entries that had no CORRECTNESS_r02 row first
+    # (VERDICT.md "Next round" #1), followed by round-3 additions, then the entries
+    # already driver-proven green in r01/r02.
     return {
+        "wildcard_constant": q_wildcard_constant,
+        "range_topk": q_range_topk,
+        "suggest_topk": q_suggest_topk,
+        "span_near": q_span_near,
+        "total_hits": q_total_hits,
+        "total_hits_index": q_total_hits_index,
+        "doc_lookup": q_doc_lookup,
+        "grouped_search": q_grouped_search,
+        "term_snippets": q_term_snippets,
+        "bm25_explain": q_bm25_explain,
+        "bm25_page2": q_bm25_page2,
+        "synonym_topk": q_synonym_topk,
+        "synonym_index": q_synonym_index,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_index": q_lm_index,
+        "near_match": q_near_match,
+        "near_index": q_near_index,
+        "more_like_this": q_more_like_this,
+        "boolean_index": q_boolean_index,
+        "wildcard_index": q_wildcard_index,
+        "fuzzy_index": q_fuzzy_index,
+        "regexp_index": q_regexp_index,
+        "range_index": q_range_index,
+        "suggest_index": q_suggest_index,
+        "span_near_index": q_span_near_index,
+        "phrase_match": q_phrase_match,
+        "phrase_index": q_phrase_index,
+        "phrase_snippets": q_phrase_snippets,
+        "contamination": q_contamination,
+        "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "distinct_users": q_distinct_users,
+        "running_sum": q_running_sum,
+        "anti_join": q_anti_join,
+        "mti_pipeline": q_mti_pipeline,
+        "semi_join": q_semi_join,
+        "intersect_pairs": q_intersect_pairs,
+        "events_tumbling": q_events_tumbling,
+        "sanitize_years": q_sanitize_years,
+        "replace_brackets": q_replace_brackets,
+        "query_template": q_query_template,
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
         "corpus_stats": q_corpus_stats,
@@ -2738,51 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
-        "wildcard_constant": q_wildcard_constant,
-        "range_topk": q_range_topk,
-        "suggest_topk": q_suggest_topk,
-        "span_near": q_span_near,
-        "total_hits": q_total_hits,
-        "total_hits_index": q_total_hits_index,
-        "doc_lookup": q_doc_lookup,
-        "grouped_search": q_grouped_search,
-        "term_snippets": q_term_snippets,
-        "bm25_explain": q_bm25_explain,
-        "bm25_page2": q_bm25_page2,
-        "synonym_topk": q_synonym_topk,
-        "synonym_index": q_synonym_index,
-        "lm_dirichlet_topk": q_lm_dirichlet_topk,
-        "lm_index": q_lm_index,
-        "near_match": q_near_match,
-        "near_index": q_near_index,
-        "more_like_this": q_more_like_this,
-        "boolean_index": q_boolean_index,
-        "wildcard_index": q_wildcard_index,
-        "fuzzy_index": q_fuzzy_index,
-        "regexp_index": q_regexp_index,
-        "range_index": q_range_index,
-        "suggest_index": q_suggest_index,
-        "span_near_index": q_span_near_index,
-        "phrase_match": q_phrase_match,
-        "phrase_index": q_phrase_index,
-        "phrase_snippets": q_phrase_snippets,
-        "contamination": q_contamination,
-        "rollup_counts": q_rollup_counts,
-        "cube_counts": q_cube_counts,
-        "range_join": q_range_join,
-        "percentiles": q_percentiles,
-        "distinct_users": q_distinct_users,
-        "running_sum": q_running_sum,
-        "anti_join": q_anti_join,
-        "mti_pipeline": q_mti_pipeline,
-        "semi_join": q_semi_join,
-        "intersect_pairs": q_intersect_pairs,
-        "events_tumbling": q_events_tumbling,
-        "sanitize_years": q_sanitize_years,
-        "replace_brackets": q_replace_brackets,
-        "query_template": q_query_template,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     toks = TOK.format(c="text")
