@@ -426,13 +426,17 @@ def build_index(
 
     # global dictionary derived from the written postings (per-segment df/cf
     # sum cleanly over doc-range-disjoint segments) — reads the compact
-    # pruned columns instead of re-materializing the tf relation
+    # pruned columns instead of re-materializing the tf relation. Filtered
+    # to the manifest's live segments: orphan seg dirs (crash between a
+    # compaction's manifest commit and dir cleanup) must not double-count.
     from mtix_spark.table_io import DEFAULT_IO as tio2
 
     t_ph = time.time()
     if os.path.exists(paths.postings):
+        live_segs = [int(s) for s in manifest["segments"]]
         tio2.overwrite(
             tio2.read(spark, paths.postings)
+            .filter(F.col("seg").isin(live_segs))
             .groupBy("term")
             .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
             paths.dictionary,

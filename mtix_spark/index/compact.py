@@ -180,7 +180,7 @@ def compact_segments(
         # the tf segments 1:1
         pos_root = os.path.join(paths.root, "positions")
         pos_done = set(man.get("positions_segments", []))
-        if pos_done & set(group):
+        if pos_done and set(group) <= pos_done:
             pold = spark.read.parquet(pos_root).filter(F.col("seg").isin(group))
             pmerged = (
                 pold.repartition("term")
@@ -197,6 +197,16 @@ def compact_segments(
             man["positions_segments"] = sorted(
                 (pos_done - set(group)) | {new_seg}
             )
+        elif pos_done & set(group):
+            # Only SOME of the group's segments have positions (e.g.
+            # build_positions ran, then more tf-only stream batches landed,
+            # then compaction grouped both). Merging here would produce a
+            # positions segment missing the unpositioned fragments' docs
+            # while require_positions still passes — the silent-partial
+            # failure that gate exists to prevent. Instead drop the group
+            # from positions_segments: positional queries raise until
+            # build_positions re-runs and rebuilds new_seg from the docs.
+            man["positions_segments"] = sorted(pos_done - set(group))
 
         metas = [man["segments"][str(s)] for s in group]
         entry = {

@@ -159,10 +159,16 @@ def stream_index_ingest(
         # data — a replayed batch just rewrites it). df/cf sum cleanly over
         # doc-range-disjoint segments. At 10^12 scale this becomes an
         # incremental merge keyed by term; per-batch recompute is the
-        # sandbox-size rendition of the same derivation.
+        # sandbox-size rendition of the same derivation. The read MUST be
+        # filtered to the manifest's live segment set (+ this batch): orphan
+        # seg dirs are a supported crash state (compaction commits the
+        # manifest before deleting old dirs), and an unfiltered scan would
+        # double-count df/cf for every term in the compacted segments.
         sess = batch_df.sparkSession
+        live_segs = [int(s) for s in man["segments"]] + [seg_id]
         tio.overwrite(
             tio.read(sess, paths.postings)
+            .filter(F.col("seg").isin(live_segs))
             .groupBy("term")
             .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
             paths.dictionary,

@@ -122,3 +122,58 @@ def test_orphan_segments_ignored_and_vacuumed(spark, compactable_index):
     removed = vacuum_segments(paths)
     assert "seg=777777" in removed
     assert not os.path.exists(orphan)
+
+
+def test_partial_positions_group_drops_coverage(spark, tmp_path):
+    """Compacting a group where only SOME segments have positions must NOT
+    produce a merged positions segment (it would silently lack the
+    unpositioned fragments' docs). Instead the group leaves
+    positions_segments entirely, require_positions raises, and a
+    build_positions re-run over the compacted index heals it."""
+    docs = assign_doc_ids(synth_corpus(spark, 400), 4)
+    out = str(tmp_path / "pidx")
+    paths = build_index(spark, docs, out, n_segments=4)
+    build_positions(spark, docs, paths)
+
+    import json
+    import re
+
+    c = docs.select("content").first()["content"]
+    toks = [t for t in re.split(r"[^a-z0-9_]+", c.lower()) if t]
+    phrases = [(1, " ".join(toks[:2]))]
+    before = sorted(
+        (r["query_id"], r["doc_id"], r["n_occ"])
+        for r in phrase_topk(spark, paths, phrases, k=10_000).collect()
+    )
+
+    # put segment 3 in the exact state a tf-only stream batch leaves:
+    # present in `segments`, absent from `positions_segments`
+    man = read_manifest(paths)
+    man["positions_segments"] = sorted(set(man["positions_segments"]) - {3})
+    with open(paths.manifest, "w") as f:
+        json.dump(man, f)
+    shutil.rmtree(os.path.join(paths.root, "positions", "seg=3"))
+
+    new_ids = compact_segments(spark, paths, small_docs=5_000, max_group=4)
+    assert len(new_ids) == 1
+    man1 = read_manifest(paths)
+    # the mixed group contributes nothing to positional coverage
+    assert man1.get("positions_segments", []) == []
+
+    from mtix_spark.index.positions import require_positions
+
+    with pytest.raises(ValueError, match="lacking positions"):
+        require_positions(man1)
+    with pytest.raises(ValueError, match="lacking positions"):
+        phrase_topk(spark, paths, phrases, k=10).collect()
+
+    # build_positions rebuilds the compacted segment from the docs; phrase
+    # results come back identical to the pre-compaction index
+    build_positions(spark, docs, paths)
+    man2 = read_manifest(paths)
+    assert sorted(man2["positions_segments"]) == sorted(new_ids)
+    after = sorted(
+        (r["query_id"], r["doc_id"], r["n_occ"])
+        for r in phrase_topk(spark, paths, phrases, k=10_000).collect()
+    )
+    assert after == before

@@ -485,3 +485,51 @@ def test_stream_dedup_drops_late_duplicates(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, "aaa"), (2, "bbb"), (4, "ccc")}  # doc 3 deduped
+
+
+def test_stream_dictionary_ignores_orphan_segments(spark, tmp_path):
+    """A crash between a compaction's manifest commit and dir cleanup leaves
+    orphan seg dirs. The next stream batch's dictionary recompute must
+    filter to the manifest's live segments — an unfiltered scan would
+    double-count df/cf for every orphaned term and skew idf corpus-wide."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mtix_spark.corpus import synth_corpus
+    from mtix_spark.index.build import IndexPaths, read_manifest
+    from mtix_spark.streaming.ingest import stream_index_ingest
+
+    src = str(tmp_path / "src")
+    synth_corpus(spark, 120, n_parts=4).write.parquet(src)
+    idx = str(tmp_path / "oidx")
+    ckpt = str(tmp_path / "ckpt")
+    stream_index_ingest(spark, src, idx, ckpt).awaitTermination(120)
+    paths = IndexPaths(idx)
+
+    # fabricate the crash state: a live segment dir duplicated under an id
+    # the manifest does not know
+    live = sorted(
+        d for d in glob.glob(f"{paths.postings}/seg=*")
+    )[0]
+    shutil.copytree(live, os.path.join(paths.postings, "seg=777777"))
+
+    # second stream pass over newly-arrived files triggers the recompute
+    synth_corpus(spark, 40, n_parts=1).write.mode("append").parquet(src)
+    stream_index_ingest(spark, src, idx, ckpt).awaitTermination(120)
+
+    man = read_manifest(paths)
+    live_segs = [int(s) for s in man["segments"]]
+    assert 777777 not in live_segs
+    expected = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("seg").isin(live_segs))
+        .groupBy("term")
+        .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+    )
+    got = spark.read.parquet(paths.dictionary)
+    a = sorted(map(tuple, expected.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
