@@ -273,14 +273,25 @@ def minhash_lsh_pairs(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
     )
-    if docs.count() <= _BITSET_MAX_DOCS:
+    # Path choice from distributed aggregates BEFORE any collect: an
+    # eligibility probe costs one small agg over the already-persisted tok
+    # relation; collecting (id, term) first and discovering the vocab is too
+    # big would haul hundreds of millions of rows into the driver only to
+    # throw them away (and the broadcast itself must fit executor/driver
+    # memory — bounded in bytes, not doc count).
+    probe = tok.agg(
+        F.approx_count_distinct("id").alias("nd"),
+        F.approx_count_distinct("term").alias("nt"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    if _bitset_path_eligible(int(probe["nd"]), int(probe["nt"]), int(probe["rows"])):
         # per-doc token sets from the persisted (id, term) relation
         by_doc: dict = {}
         for r in tok.select("id", "term").collect():
             by_doc.setdefault(r["id"], []).append(r["term"])
         doc_rows = [{"id": i, "ts": ts} for i, ts in by_doc.items()]
         vocab = sorted({t for ts in by_doc.values() for t in ts})
-        if len(vocab) <= _BITSET_MAX_VOCAB:
+        if len(vocab) <= _BITSET_MAX_VOCAB:  # exact re-check (approx ±5%)
             return _verify_banded_bitset(raw, bands, doc_rows, vocab, threshold)
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -294,7 +305,26 @@ def minhash_lsh_pairs(
 # ≤ 256 words/doc (16384 terms) and the doc-bitset matrix stays a small
 # broadcast; past that, the general pair join takes over.
 _BITSET_MAX_VOCAB = 16_384
-_BITSET_MAX_DOCS = 2_000_000
+_BITSET_BROADCAST_BYTES = 64 << 20  # bits matrix + bandcodes together
+_BITSET_MAX_TOKEN_ROWS = 5_000_000  # (id, term) rows the driver will collect
+
+
+def _bitset_path_eligible(n_docs: int, n_terms: int, token_rows: int) -> bool:
+    """Choose bitset vs pair-join from cheap distributed aggregates.
+
+    All three inputs come from one agg over the (id, term) relation —
+    nothing is collected before this passes. approx_count_distinct carries
+    ~±5% error, so estimates are inflated by 10% here and the exact vocab
+    size is re-checked after the collect. The byte budget covers both
+    broadcast matrices: n_docs × ⌈V/64⌉ uint64 bitset words plus
+    n_docs × N_BANDS int64 band codes.
+    """
+    nd = int(n_docs * 1.1) + 1
+    nt = int(n_terms * 1.1) + 1
+    if nt > _BITSET_MAX_VOCAB or token_rows > _BITSET_MAX_TOKEN_ROWS:
+        return False
+    n_words = max(1, -(-nt // 64))
+    return nd * (n_words + N_BANDS) * 8 <= _BITSET_BROADCAST_BYTES
 
 
 def _verify_banded_bitset(

@@ -533,3 +533,52 @@ def test_stream_dictionary_ignores_orphan_segments(spark, tmp_path):
     a = sorted(map(tuple, expected.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
+
+
+def test_bitset_path_eligibility_gate():
+    """Path choice happens on distributed aggregates, bounded in bytes."""
+    from mtix_spark.dedup import (
+        _BITSET_MAX_VOCAB,
+        _bitset_path_eligible,
+    )
+
+    assert _bitset_path_eligible(1_000, 5_000, 100_000)
+    # vocabulary past the pack cap → pair join
+    assert not _bitset_path_eligible(1_000, _BITSET_MAX_VOCAB + 1, 100_000)
+    # token-row collect cap → pair join
+    assert not _bitset_path_eligible(1_000, 5_000, 50_000_000)
+    # broadcast byte budget: 2M docs x 256 words x 8B ≈ 4 GB → pair join,
+    # exactly the case the round-2 verdict flagged
+    assert not _bitset_path_eligible(2_000_000, 16_000, 4_000_000)
+
+
+def test_minhash_large_vocab_falls_back_without_collect(spark, monkeypatch):
+    """A corpus whose vocab exceeds the bitset cap must take the pair-join
+    path WITHOUT collecting the (id, term) relation to the driver — and the
+    verified pairs stay exact."""
+    import mtix_spark.dedup as D
+
+    # 300 docs x ~90 unique terms -> vocab ~ 27k > 16384; plant near-dups
+    rows = []
+    for i in range(300):
+        toks = [f"u{i}_{j}" for j in range(90)]
+        rows.append((i, " ".join(toks)))
+        if i % 50 == 0:  # plant a 0.8-jaccard neighbour
+            shared = toks[:80] + [f"v{i}_{j}" for j in range(10)]
+            rows.append((10_000 + i, " ".join(shared)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def boom(*a, **k):
+        raise AssertionError("bitset path must not run on a large-vocab corpus")
+
+    monkeypatch.setattr(D, "_verify_banded_bitset", boom)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # every planted pair that LSH surfaces is exactly verified: jaccard of
+    # the planted pairs is |80| / |100| = 0.8
+    for (a, b), j in got.items():
+        if b == 10_000 + a:
+            assert abs(j - 0.8) < 1e-9
+    assert any(b == 10_000 + a for (a, b) in got), "planted pairs not found"
