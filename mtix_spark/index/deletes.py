@@ -76,38 +76,98 @@ def mask_deleted(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray:
     return deleted[pos_c] != ids
 
 
-def delete_docs(spark: SparkSession, paths: IndexPaths, doc_ids: list[int]) -> int:
+def delete_docs(
+    spark: SparkSession, paths: IndexPaths, doc_ids: list[int] | DataFrame
+) -> int:
     """Tombstone the given doc ids. Returns the number of NEW tombstones
     (ids already deleted or outside every segment's range don't count).
     Accumulates across calls (union with existing tombstones per segment);
-    the manifest's `delete_epoch` bump invalidates executor caches."""
-    from mtix_spark.table_io import DEFAULT_IO as tio
+    the manifest's `delete_epoch` bump invalidates executor caches.
+
+    `doc_ids` may be a Python list (point-delete convenience) or a DataFrame
+    with a `doc_id` column (GDPR-scale campaigns). Either way the ids never
+    transit the driver: segment assignment is a broadcast range join against
+    the manifest, the merge with existing tombstones is a DataFrame union +
+    distinct, and the only things collected are one count row per touched
+    segment (bounded by the segment count, not the id count)."""
+    import shutil
 
     man = read_manifest(paths)
-    ranges = [
-        (int(m["min_doc"]), int(m["max_doc"]), int(sid))
-        for sid, m in man["segments"].items()
-    ]
-    by_seg: dict[int, set] = {}
-    for d in set(doc_ids):
-        for lo, hi, sid in ranges:
-            if lo <= d <= hi:
-                by_seg.setdefault(sid, set()).add(int(d))
-                break
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        if not doc_ids:
+            return 0
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in set(doc_ids)], "doc_id long"
+        )
+    ranges = spark.createDataFrame(
+        [
+            (int(sid), int(m["min_doc"]), int(m["max_doc"]))
+            for sid, m in man["segments"].items()
+        ],
+        "seg int, lo long, hi long",
+    )
+    tagged = (
+        ids_df.join(
+            F.broadcast(ranges),
+            (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
+        )
+        .select("seg", "doc_id")
+        .distinct()
+    )
     root = deletes_root(paths)
-    n_new = 0
-    for sid, ids in sorted(by_seg.items()):
+    have_existing = os.path.isdir(root) and any(
+        d.startswith("seg=") for d in os.listdir(root)
+    )
+    if have_existing:
+        existing = spark.read.parquet(root).select(
+            F.col("seg").cast("int").alias("seg"), "doc_id"
+        )
+        merged = existing.unionByName(tagged).distinct()
+    else:
+        existing = None
+        merged = tagged
+
+    # One staged distributed write for every touched segment, then per-dir
+    # swap: never overwrite a parquet dir a lazy plan still reads (the
+    # Iceberg seam makes this a snapshot commit; the parquet rendition
+    # stages + renames).
+    touched_col = tagged.select("seg").distinct()
+    if not touched_col.take(1):  # nothing in any segment's range
+        return 0
+    stage = os.path.join(paths.root, "deletes_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        merged.join(F.broadcast(touched_col), "seg")  # untouched segs keep their dirs
+        .repartition("seg")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("seg")
+        .parquet(stage)
+    )
+    staged = spark.read.parquet(stage)
+    n_merged = {
+        int(r["seg"]): int(r["n"])
+        for r in staged.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not n_merged:
+        shutil.rmtree(stage, ignore_errors=True)
+        return 0
+    n_existing = {}
+    if existing is not None:
+        n_existing = {
+            int(r["seg"]): int(r["n"])
+            for r in existing.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    n_new = sum(n - n_existing.get(sid, 0) for sid, n in n_merged.items())
+    os.makedirs(root, exist_ok=True)
+    for sid in sorted(n_merged):
         seg_dir = os.path.join(root, f"seg={sid}")
-        existing: set = set()
-        if os.path.isdir(seg_dir):
-            existing = {
-                r["doc_id"]
-                for r in spark.read.parquet(seg_dir).select("doc_id").collect()
-            }
-        merged = sorted(existing | ids)
-        n_new += len(merged) - len(existing)
-        df = spark.createDataFrame([(i,) for i in merged], "doc_id long").coalesce(1)
-        tio.overwrite_partition(df, root, "seg", sid)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        shutil.move(os.path.join(stage, f"seg={sid}"), seg_dir)
+    shutil.rmtree(stage, ignore_errors=True)
     if n_new:
         man["delete_epoch"] = int(man.get("delete_epoch", 0)) + 1
         man["n_deleted"] = int(man.get("n_deleted", 0)) + n_new

@@ -139,3 +139,29 @@ def test_purge_matches_fresh_build(spark, del_index, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_bulk_delete_dataframe_ids_never_collected(spark, del_index):
+    """GDPR-scale campaign: ids arrive as a DataFrame and must never
+    transit the driver. 10^5 ids (most outside any segment range) resolve
+    through the broadcast range join; masking and accumulation behave
+    exactly like the list form."""
+    docs, paths = del_index
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 8).collect()]
+    base = _topk(spark, paths, queries)
+
+    # 100k candidate ids, step 3 — ids 0..599 exist, so ⌈600/3⌉ hit
+    ids_df = spark.range(0, 300_000, 3).select(F.col("id").alias("doc_id"))
+    expect_hits = len(range(0, 600, 3))
+    n = delete_docs(spark, paths, ids_df)
+    assert n == expect_hits
+    # idempotent replay of the same frame
+    assert delete_docs(spark, paths, ids_df) == 0
+    # accumulation: a later point delete unions with the bulk tombstones
+    survivor = next(d for d in range(600) if d % 3 != 0)
+    assert delete_docs(spark, paths, [survivor]) == 1
+
+    deleted = {d for d in range(0, 600, 3)} | {survivor}
+    after = _topk(spark, paths, queries)
+    assert after  # plenty of survivors
+    assert not any(d in deleted for _, _, d, _ in after)
