@@ -931,11 +931,20 @@ class MergedSearcher:
     rank-identical to the segment path and the brute oracle (tested);
     tie-break (score DESC, doc_id ASC); scores rounded to SCORE_DECIMALS.
 
-    At 10¹² docs the per-term lists are block-sharded and dl lives in a
-    co-located lookup; in-sandbox the whole dl column loads once per handle.
+    Doc-length state is lazy and block-sparse: dl loads in fixed-size
+    doc-range blocks (`dl_block` docs each), and ONLY the blocks covered by
+    the posting lists actually fetched — a handle serving queries that hit
+    one term shard holds dl memory ∝ the doc ranges those postings touch,
+    never corpus size. Tombstones likewise load per segment, only for
+    segments whose doc range intersects fetched postings. That is the
+    10¹²-doc sharded-serving story expressed in code, not prose.
     """
 
-    def __init__(self, spark: SparkSession, paths: IndexPaths):
+    DL_BLOCK_DEFAULT = 1 << 18  # docs per lazily-loaded dl block
+
+    def __init__(
+        self, spark: SparkSession, paths: IndexPaths, dl_block: int | None = None
+    ):
         import os
 
         self.spark = spark
@@ -945,48 +954,74 @@ class MergedSearcher:
         self.n_docs, self.avgdl = stats["n_docs"], stats["avgdl"]
         self.merged_dir = os.path.join(paths.root, "merged")
         self._terms: dict[str, tuple | None] = {}
-        self._dl: np.ndarray | None = None
+        self.dl_block = int(dl_block or self.DL_BLOCK_DEFAULT)
+        self._dl_blocks: dict[int, np.ndarray] = {}
         from mtix_spark.index.build import read_manifest
 
         man = read_manifest(paths)
         self._has_deletes = int(man.get("n_deleted", 0)) > 0
-        self._deleted: np.ndarray | None = None
+        self._delete_epoch = int(man.get("delete_epoch", 0))
+        # (min_doc, max_doc, seg) sorted by min_doc — drives both the lazy
+        # dl block loads and the per-segment tombstone loads
+        self._seg_ranges = sorted(
+            (int(m["min_doc"]), int(m["max_doc"]), int(s))
+            for s, m in man["segments"].items()
+        )
+        self._del_segs: dict[int, np.ndarray] = {}
 
-    def _ensure_deleted(self) -> np.ndarray:
-        """Global tombstone set (union over segments), loaded once."""
-        if self._deleted is None:
-            import glob
-            import os
+    def _segs_overlapping(self, lo: int, hi: int) -> list[int]:
+        return [s for mn, mx, s in self._seg_ranges if mx >= lo and mn <= hi]
 
-            import pyarrow.parquet as pq
+    def _deleted_for(self, lo: int, hi: int) -> np.ndarray:
+        """Sorted tombstones restricted to segments intersecting [lo, hi] —
+        loaded per segment on first touch, never the global union."""
+        import os
 
-            parts = []
+        from mtix_spark.index.deletes import load_deleted
+
+        root = os.path.join(self.paths.root, "deletes")
+        parts = []
+        for s in self._segs_overlapping(lo, hi):
+            if s not in self._del_segs:
+                self._del_segs[s] = load_deleted(root, s, self._delete_epoch)
+            if self._del_segs[s].size:
+                parts.append(self._del_segs[s])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def _load_dl_block(self, b: int) -> np.ndarray:
+        """dl values for docs [b*dl_block, (b+1)*dl_block) — reads only the
+        doclens files of segments overlapping that range."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        lo, hi = b * self.dl_block, (b + 1) * self.dl_block - 1
+        arr = np.zeros(self.dl_block, dtype=np.float64)
+        for s in self._segs_overlapping(lo, hi):
             for f in glob.glob(
-                os.path.join(self.paths.root, "deletes", "seg=*", "*.parquet")
+                os.path.join(self.paths.doclens, f"seg={s}", "*.parquet")
             ):
-                parts.append(pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy())
-            self._deleted = (
-                np.unique(np.concatenate(parts))
-                if parts
-                else np.empty(0, dtype=np.int64)
-            ).astype(np.int64)
-        return self._deleted
-
-    def _ensure_dl(self) -> np.ndarray:
-        if self._dl is None:
-            import glob
-            import os
-
-            import pyarrow.parquet as pq
-
-            dl = np.zeros(self.n_docs, dtype=np.float64)
-            for f in glob.glob(os.path.join(self.paths.doclens, "seg=*", "*.parquet")):
                 t = pq.read_table(f, columns=["doc_id", "dl"])
                 ids = t["doc_id"].to_numpy()
-                m = (ids >= 0) & (ids < self.n_docs)
-                dl[ids[m]] = t["dl"].to_numpy()[m]
-            self._dl = dl
-        return self._dl
+                m = (ids >= lo) & (ids <= hi)
+                arr[ids[m] - lo] = t["dl"].to_numpy()[m]
+        return arr
+
+    def _dl_for(self, ids: np.ndarray) -> np.ndarray:
+        """Per-doc dl lookup through the lazy block cache; loads only the
+        blocks the given ids touch (memory ∝ touched doc ranges)."""
+        blocks = np.unique(ids // self.dl_block)
+        out = np.empty(ids.size, dtype=np.float64)
+        for b in blocks:
+            bi = int(b)
+            if bi not in self._dl_blocks:
+                self._dl_blocks[bi] = self._load_dl_block(bi)
+            m = ids // self.dl_block == b
+            out[m] = self._dl_blocks[bi][ids[m] - bi * self.dl_block]
+        return out
 
     def _fetch(self, terms: list[str]) -> None:
         missing = [t for t in terms if t not in self._terms]
@@ -1003,10 +1038,14 @@ class MergedSearcher:
         for r in rows:
             ids = delta_decode(r["doc_ids_bin"]).astype(np.int64)
             tfs = decode_varint(r["tfs_bin"]).astype(np.float64)
-            if self._has_deletes:
+            if self._has_deletes and ids.size:
                 from mtix_spark.index.deletes import mask_deleted
 
-                keep = mask_deleted(ids, self._ensure_deleted())
+                # ids are delta-decoded ascending → min/max are the ends;
+                # only tombstones of segments this list touches load
+                keep = mask_deleted(
+                    ids, self._deleted_for(int(ids[0]), int(ids[-1]))
+                )
                 ids, tfs = ids[keep], tfs[keep]
             # df stays the BUILD-time document frequency until a purge
             # (Lucene deletes semantics — scores use stale stats)
@@ -1031,7 +1070,6 @@ class MergedSearcher:
         self._fetch(all_terms)
         if not any(self._terms.get(t) for t in all_terms):
             return out_empty
-        dl = self._ensure_dl()
         n_docs, avgdl = self.n_docs, self.avgdl
 
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
@@ -1044,7 +1082,7 @@ class MergedSearcher:
                 ids, tfs, df = self._terms[t]
                 idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 w = idf * tfs * (K1 + 1.0) / (
-                    tfs + K1 * (1.0 - B + B * dl[ids] / avgdl)
+                    tfs + K1 * (1.0 - B + B * self._dl_for(ids) / avgdl)
                 )
                 cat_ids.append(ids)
                 cat_contrib.append(w)
@@ -1054,9 +1092,13 @@ class MergedSearcher:
             acc = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(acc, inv, contrib)
             kk = min(k, uniq.size)
-            top = np.argpartition(-acc, kk - 1)[:kk]
-            order = np.lexsort((uniq[top], -acc[top]))
-            top = top[order]
+            part = np.argpartition(-acc, kk - 1)[:kk]
+            # argpartition picks ARBITRARY members of a tied class at the
+            # boundary; widen to every boundary tie, then break ties
+            # deterministically (score DESC, doc_id ASC) before cutting
+            cand = np.flatnonzero(acc >= acc[part].min())
+            order = np.lexsort((uniq[cand], -acc[cand]))
+            top = cand[order][:kk]
             out["query_id"].extend([qid] * kk)
             out["rank"].extend(range(1, kk + 1))
             out["doc_id"].extend(uniq[top].tolist())

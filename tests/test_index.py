@@ -404,3 +404,62 @@ def test_get_docs_point_lookup_and_deletes(spark, small_docs, tmp_path):
     delete_docs(spark, idx, [victim])
     left = {int(r["doc_id"]) for r in get_docs(spark, idx, sorted(want)).collect()}
     assert left == want - {victim}
+
+
+def test_merged_searcher_dl_memory_proportional_to_touched_blocks(
+    spark, tmp_path
+):
+    """Serving-state laziness: a MergedSearcher query whose postings live in
+    one doc-range block must load ONLY that dl block (and no tombstones) —
+    the sharded-serving behavior for a 10^12-doc corpus, verified in code.
+    Warm-path results stay rank-identical to the brute oracle."""
+    from mtix_spark.corpus import synth_queries
+    from mtix_spark.index.build import (
+        assign_doc_ids,
+        build_index,
+        build_tf,
+        corpus_stats,
+        merge_postings,
+    )
+    from mtix_spark.index.search import MergedSearcher, bm25_brute
+
+    # 4 segments of 100 docs each; every doc carries a marker term unique
+    # to its segment so queries can be confined to one doc range
+    rows = []
+    for i in range(400):
+        seg_marker = f"segmark{i // 100}"
+        filler = " ".join(f"w{j}" for j in range(i % 7 + 3))
+        rows.append(("r", f"f{i:04d}.py", "c", "python", f"{seg_marker} {filler}"))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    docs = assign_doc_ids(corpus, 4)
+    out = str(tmp_path / "lazyidx")
+    paths = build_index(spark, docs, out, n_segments=4)
+    merge_postings(spark, paths, hot_df=50, n_salt=4)
+
+    ms = MergedSearcher(spark, paths, dl_block=100)  # block == segment range
+    got = ms.search([(1, "segmark0")], k=10)
+    assert len(got) == 10
+    assert set(ms._dl_blocks) == {0}, "only the touched block may load"
+    assert ms._del_segs == {}, "no deletes -> no tombstone loads"
+
+    got3 = ms.search([(2, "segmark3")], k=10)
+    assert set(ms._dl_blocks) == {0, 3}
+    assert got3["doc_id"].between(300, 399).all()
+
+    # rank identity on a mixed query against the brute oracle
+    queries = [(5, "segmark1 w1 w5"), (6, "w2 w6")]
+    n, avgdl = corpus_stats(docs)
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    tf = build_tf(docs)
+    dl = docs.select("doc_id", F.col("doc_len").alias("dl"))
+    brute = sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), round(float(r["score"]), 4))
+        for r in bm25_brute(tf, dl, qdf, n, avgdl, k=25).collect()
+    )
+    warm = sorted(
+        (int(q), int(rk), int(d), round(float(sc), 4))
+        for q, rk, d, sc in ms.search(queries, k=25).itertuples(index=False)
+    )
+    assert warm == brute
