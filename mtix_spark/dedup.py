@@ -471,6 +471,7 @@ def dedup_clusters(
     edges = edges.persist()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "lbl"
@@ -490,6 +491,15 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        # returning partially-propagated labels would split one connected
+        # component across cluster ids and silently retain duplicates —
+        # fail loudly (long chain-shaped graphs can exceed max_iter)
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to the large-star/small-star variant for chain-shaped graphs"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 

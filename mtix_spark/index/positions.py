@@ -151,6 +151,15 @@ def _build_segment_positions(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # within-doc position deltas over the fully concatenated stream
     flat = np.concatenate(list(plists)).astype(np.uint64) if len(plists) else np.empty(0, np.uint64)
+    # the query kernels pack (doc_rank << _POS_SHIFT | pos); a position at
+    # or past 2^22 would silently corrupt that packing (cross-document
+    # false matches in phrase/NEAR/span) — fail the BUILD loudly instead
+    if flat.size and int(flat.max()) >= (1 << _POS_SHIFT):
+        raise ValueError(
+            f"seg {seg}: token position {int(flat.max())} >= 2^{_POS_SHIFT}; "
+            "documents longer than ~4.19M tokens are not indexable with "
+            "positions (split the document or raise _POS_SHIFT)"
+        )
     doc_pos_starts = np.zeros(codes.size + 1, dtype=np.int64)
     np.cumsum(counts.astype(np.int64), out=doc_pos_starts[1:])
     pdeltas = flat.copy()
@@ -515,7 +524,9 @@ def near_topk(
                 )
             else:
                 lo = blk | np.maximum(pos_b - w, 0)
-                hi = blk | (pos_b + w)
+                # clamp to the rank block: pos_b + w could otherwise carry
+                # into the next candidate doc's packed range near 2^22
+                hi = blk | np.minimum(pos_b + w, (1 << _POS_SHIFT) - 1)
                 cnt = np.searchsorted(pa, hi, "right") - np.searchsorted(pa, lo, "left")
                 # exclude identical positions (only arises when ta == tb)
                 if ta == tb:

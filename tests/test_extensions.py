@@ -582,3 +582,40 @@ def test_minhash_large_vocab_falls_back_without_collect(spark, monkeypatch):
         if b == 10_000 + a:
             assert abs(j - 0.8) < 1e-9
     assert any(b == 10_000 + a for (a, b) in got), "planted pairs not found"
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain graph of diameter > max_iter must raise, not return split
+    components (silent duplicate retention)."""
+    from mtix_spark.dedup import dedup_clusters
+
+    n = 12
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(nodes, chain, max_iter=2)
+    # and with enough rounds the same graph resolves to one component
+    ok = dedup_clusters(nodes, chain, max_iter=n + 1)
+    assert ok.select("cluster_id").distinct().count() == 1
+
+
+def test_positions_build_rejects_overlong_document(spark):
+    """Packed-position invariant enforced at build: a position >= 2^22
+    fails loudly instead of corrupting phrase/NEAR packing."""
+    import numpy as np
+    import pandas as pd
+
+    from mtix_spark.index.positions import _build_segment_positions
+
+    pdf = pd.DataFrame(
+        {
+            "seg": [0],
+            "term": ["t"],
+            "doc_id": [1],
+            "positions": [np.array([5, (1 << 22)], dtype="int32")],
+        }
+    )
+    with pytest.raises(ValueError, match="2\\^22"):
+        _build_segment_positions(pdf)
