@@ -143,13 +143,37 @@ def attach_subheadings(
     return predictions.join(nested, ["q_id", "p_id"], "left")
 
 
-def run_metrics(y_true: DataFrame, y_pred: DataFrame, keys: list[str]) -> DataFrame:
+CRITICAL_SUBHEADINGS = [
+    "diagnostic imaging", "adverse effects", "chemically induced",
+    "complications", "diagnosis", "drug therapy", "etiology", "genetics",
+    "epidemiology", "pharmacology", "prevention & control", "radiotherapy",
+    "surgery", "therapeutic use", "therapy", "toxicity", "veterinary",
+]  # integration_tests/data.py:89 — the reference's critical-qualifier list
+
+
+def run_metrics(
+    y_true: DataFrame,
+    y_pred: DataFrame,
+    keys: list[str],
+    key_filter: tuple[str, list[str]] | None = None,
+) -> DataFrame:
     """J8/J9/A6 (integration_tests/utils.py:8-38): precision/recall/F1 over
-    distinct key tuples, ground truth restricted to predicted q_ids first."""
+    distinct key tuples, ground truth restricted to predicted q_ids first.
+
+    `key_filter=(col, values)` mirrors compute_metrics' `s_filter`
+    (integration_tests/utils.py:20): triples whose `col` is non-empty and
+    outside `values` drop from BOTH sides before counting; empty-string
+    values (the reference's descriptor-only triples) always stay."""
     q = keys[0]
-    t = y_true.select(*keys).distinct().join(
-        y_pred.select(q).distinct(), q, "left_semi"
-    )
+    # q_id restriction uses the UNFILTERED predictions (the reference takes
+    # pred_pmids at citation level, before triple extraction/filtering)
+    pred_qids = y_pred.select(q).distinct()
+    if key_filter is not None:
+        fcol, fvals = key_filter
+        keep = (F.col(fcol) == "") | F.col(fcol).isin(list(fvals))
+        y_true = y_true.filter(keep)
+        y_pred = y_pred.filter(keep)
+    t = y_true.select(*keys).distinct().join(pred_qids, q, "left_semi")
     p = y_pred.select(*keys).distinct()
     inter = t.intersect(p)
     eps = 1e-9

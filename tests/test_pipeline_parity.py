@@ -173,3 +173,58 @@ def test_replace_brackets_conditional(spark):
     )
     got = [r["o"] for r in df.select(replace_brackets("s").alias("o")).collect()]
     assert got == ["a (x) (y) b", "keep [single] brackets"]
+
+
+def _ref_compute_metrics(y_true, y_pred, s_filter=None):
+    """The reference's compute_metrics
+    (/root/reference/src/mtix/integration_tests/utils.py:8-38) restated
+    over (q_id, label, sub) triples for parity checking."""
+    eps = 1e-9
+    pred_q = {q for q, _, _ in y_pred}
+    keep = lambda s: s == "" or s_filter is None or s in s_filter
+    t = {(q, d, s) for q, d, s in y_true if q in pred_q and keep(s)}
+    p = {(q, d, s) for q, d, s in y_pred if keep(s)}
+    m = len(t & p)
+    pr = m / (len(p) + eps)
+    rc = m / (len(t) + eps)
+    return pr, rc, 2 * pr * rc / (pr + rc + eps)
+
+
+def test_run_metrics_critical_subheading_filter(spark):
+    """Filtered-metric parity with the reference's s_filter semantics
+    (test_pipelines.py:103-106): critical-qualifier triples only, with
+    descriptor-only ('' subheading) triples always kept, and the q_id
+    restriction taken from UNFILTERED predictions."""
+    from mtix_spark.pipeline import CRITICAL_SUBHEADINGS, run_metrics
+
+    true_triples = [
+        (1, "A", "surgery"), (1, "A", "blood"), (1, "B", ""),
+        (2, "A", "therapy"), (2, "C", "blood"),
+        (3, "C", "genetics"),       # truth for a q_id predicted only with
+                                    # non-critical subs — must still count
+        (4, "D", "surgery"),        # unpredicted q_id → excluded both ways
+    ]
+    pred_triples = [
+        (1, "A", "surgery"), (1, "A", "pharmacology"), (1, "B", ""),
+        (2, "A", "therapy"), (2, "A", "blood"),
+        (3, "C", "blood"),          # all of q3's preds are non-critical
+    ]
+    schema = "q_id long, label string, sub string"
+    y_true = spark.createDataFrame(true_triples, schema)
+    y_pred = spark.createDataFrame(pred_triples, schema)
+    keys = ["q_id", "label", "sub"]
+
+    for flt in (None, CRITICAL_SUBHEADINGS):
+        kf = None if flt is None else ("sub", flt)
+        got = run_metrics(y_true, y_pred, keys, key_filter=kf).collect()[0]
+        pr, rc, f1 = _ref_compute_metrics(true_triples, pred_triples, flt)
+        assert abs(got["precision"] - pr) < 1e-9
+        assert abs(got["recall"] - rc) < 1e-9
+        assert abs(got["f1"] - f1) < 1e-9
+
+    # the filter changes the numbers on this data (sanity that it bites)
+    full = run_metrics(y_true, y_pred, keys).collect()[0]
+    crit = run_metrics(
+        y_true, y_pred, keys, key_filter=("sub", CRITICAL_SUBHEADINGS)
+    ).collect()[0]
+    assert (full["n_true"], full["n_pred"]) != (crit["n_true"], crit["n_pred"])

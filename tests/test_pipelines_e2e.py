@@ -165,3 +165,42 @@ def test_write_mti_json_roundtrip(spark, tmp_path):
     back = spark.read.json(path)
     assert back.count() == out.count()
     assert set(back.columns) >= {"PMID", "Indexing", "text-gz-64"}
+
+
+def test_pipeline_metrics_all_and_critical(spark):
+    """Both metric sets the reference asserts (test_pipelines.py:98-106):
+    all-subheadings P/R/F1 and the CRITICAL_SUBHEADINGS-filtered set, over
+    the e2e pipeline output against synthetic ground truth."""
+    from pyspark.sql import functions as F
+
+    from mtix_spark.pipeline import CRITICAL_SUBHEADINGS, run_metrics
+
+    out = _run_pipeline(spark)
+    pred = out.select(
+        "q_id", F.explode("indexing").alias("ix")
+    ).select(
+        "q_id",
+        F.col("ix.term").alias("label"),
+        F.explode_outer("ix.subheadings").alias("sh"),
+    ).select(
+        "q_id", "label", F.coalesce(F.col("sh.name"), F.lit("")).alias("sub")
+    )
+    # ground truth: the pipeline's own output for q101/q102 perturbed —
+    # q103 truth rows the pipeline won't predict, plus a missing triple
+    truth = pred.filter(F.col("q_id").isin(101, 102)).unionByName(
+        spark.createDataFrame(
+            [(103, "Zed", "therapy"), (103, "Zed", "blood"), (101, "Missing", "")],
+            "q_id long, label string, sub string",
+        )
+    )
+    keys = ["q_id", "label", "sub"]
+    full = run_metrics(truth, pred, keys).collect()[0]
+    crit = run_metrics(
+        truth, pred, keys, key_filter=("sub", CRITICAL_SUBHEADINGS)
+    ).collect()[0]
+    # all predicted q101/q102 triples are true; extra truth rows cost recall
+    assert full["precision"] < 1.0 or full["n_pred"] == full["n_inter"]
+    assert full["recall"] < 1.0
+    assert 0.0 < crit["f1"] <= 1.0
+    # 'blood' is non-critical: the filtered true-set must shrink
+    assert crit["n_true"] < full["n_true"]
