@@ -101,6 +101,104 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder (pure stdlib: struct + zlib + crc32) for an
+    (H, W, 3) uint8 array — 8-bit truecolor, no filter per scanline. Valid
+    per the PNG spec; lets the sandbox exercise real image payloads without
+    PIL. (Retires the image half of the round-2 decode stub.)"""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL image header parsing — PNG IHDR, JPEG SOF scan, GIF logical
+    screen descriptor. Pure struct reads, no decoder library; returns
+    (mime, width, height) or None for unrecognized bytes."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", int(w), int(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(payload):
+                break
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOFn carry dimensions; C4/C8/CC are DHT/JPG/DAC, not frames
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    break
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("image/jpeg", int(w), int(h))
+            i += 2 + seglen
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", int(w), int(h))
+    return None
+
+
+IMAGE_DIMS_SCHEMA = "media_id long, mime string, width int, height int"
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """payload -> (mime, width, height) via REAL header parsing in the same
+    Arrow-batched mapInPandas mount the fake decoders use — no `fake` flag:
+    this kernel runs for real in this container. Unparseable payloads yield
+    null mime/dims (kept, not dropped — the caller decides)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, ws, hs = [], [], []
+            for p in pdf["payload"]:
+                got = parse_image_dims(bytes(p)) if p is not None else None
+                mimes.append(got[0] if got else None)
+                ws.append(got[1] if got else None)
+                hs.append(got[2] if got else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, IMAGE_DIMS_SCHEMA
+    )
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must NOT read `payload` (column pruning)."""
     return media.groupBy("kind").agg(
@@ -111,20 +209,37 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
 
 
 def synth_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic media table for tests. Image payloads are REAL PNGs
+    (encode_png) whose pixel dims match the metadata columns; audio/video
+    payloads stay opaque deterministic bytes (decode for those is still
+    honestly stubbed)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=32).digest()
+        if kind == "image":
+            w = h = 64 + i % 8
+            seed = int.from_bytes(
+                hashlib.blake2b(f"media:{i}".encode(), digest_size=8).digest(),
+                "little",
+            )
+            px = np.random.default_rng(seed).integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            payload = encode_png(px)
+        else:
+            w = h = None
+            payload = hashlib.blake2b(
+                f"media:{i}".encode(), digest_size=32
+            ).digest()
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 8 if kind == "image" else None,
-                64 + i % 8 if kind == "image" else None,
+                w,
+                h,
                 (1 + i % 5) * 1000 if kind != "image" else None,
             )
         )

@@ -619,3 +619,48 @@ def test_positions_build_rejects_overlong_document(spark):
     )
     with pytest.raises(ValueError, match="2\\^22"):
         _build_segment_positions(pdf)
+
+
+def test_image_dimensions_real_parsing(spark):
+    """fake=False retirement for images: real PNG bytes (stdlib encoder)
+    parse back to their true dimensions through the Arrow kernel; JPEG SOF
+    and GIF headers parse; garbage yields nulls."""
+    import numpy as np
+
+    from mtix_spark.multimodal import (
+        encode_png,
+        image_dimensions,
+        parse_image_dims,
+        synth_media,
+    )
+
+    # unit: all three formats + garbage
+    png = encode_png(np.zeros((7, 11, 3), dtype=np.uint8))
+    assert parse_image_dims(png) == ("image/png", 11, 7)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)  # APP0
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + bytes(9)
+        + b"\xff\xd9"
+    )
+    assert parse_image_dims(jpeg) == ("image/jpeg", 640, 480)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_dims(gif) == ("image/gif", 320, 200)
+    assert parse_image_dims(b"not an image at all") is None
+
+    # engine: synth images are REAL PNGs; parsed dims == metadata columns
+    media = synth_media(spark, 30)
+    images = media.filter(F.col("kind") == "image")
+    got = image_dimensions(images).join(
+        images.select("media_id", F.col("width").alias("meta_w"),
+                      F.col("height").alias("meta_h")),
+        "media_id",
+    )
+    rows = got.collect()
+    assert rows and all(r["mime"] == "image/png" for r in rows)
+    assert all(r["width"] == r["meta_w"] and r["height"] == r["meta_h"] for r in rows)
+    # non-images parse to null, not errors
+    nulls = image_dimensions(media.filter(F.col("kind") != "image")).collect()
+    assert nulls and all(r["mime"] is None and r["width"] is None for r in nulls)
