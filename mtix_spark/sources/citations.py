@@ -39,7 +39,34 @@ def read_tsv_dim(spark: SparkSession, path: str, key: str = "id", value: str = "
 
 
 def read_uid_payload_json(spark: SparkSession, path: str) -> DataFrame:
-    """S2/S3: JSON array of {uid, data} (gzip/xz transparent to Spark)."""
+    """S2/S3: JSON array of {uid, data}.
+
+    gzip rides Spark's builtin Hadoop codec. xz has NO Hadoop codec, so
+    `.xz` paths route through `binaryFile` + a distributed lzma+json kernel
+    — one task per file, which is the honest parallelism for a
+    non-splittable codec (same as gz); the reference reads these files with
+    Python `xz.open` single-node (integration_tests/test_pipelines.py:95).
+    """
+    if path.endswith(".xz"):
+        import json as _json
+        import lzma
+        from typing import Iterator
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"uid": [], "data": []}
+                for blob in pdf["content"]:
+                    for row in _json.loads(lzma.decompress(bytes(blob))):
+                        out["uid"].append(int(row["uid"]))
+                        out["data"].append(row.get("data"))
+                yield pd.DataFrame(out)
+
+        return (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(kernel, "uid long, data string")
+        )
     return spark.read.json(path, schema="uid long, data string", multiLine=True)
 
 

@@ -104,3 +104,24 @@ def test_tsv_dim_and_mti_sink(spark, tmp_path):
     row = back.collect()[0]
     assert row["PMID"] == 12345 and row["text-gz-64"] == "payload64"
     assert row["Indexing"][0]["term"] == "Heart"
+
+
+def test_uid_payload_json_xz(spark, tmp_path):
+    """S3 xz half: no Hadoop XZ codec exists, so .xz routes through
+    binaryFile + a distributed lzma kernel; values identical to the gz
+    path."""
+    import json as J
+    import lzma
+
+    rows = [{"uid": 1, "data": "abc"}, {"uid": 2, "data": "def"}, {"uid": 3}]
+    p = str(tmp_path / "payload.json.xz")
+    with lzma.open(p, "wt") as f:
+        J.dump(rows, f)
+    got = {r["uid"]: r["data"] for r in read_uid_payload_json_mod(spark, p).collect()}
+    assert got == {1: "abc", 2: "def", 3: None}
+
+
+def read_uid_payload_json_mod(spark, p):
+    from mtix_spark.sources.citations import read_uid_payload_json
+
+    return read_uid_payload_json(spark, p)
