@@ -47,4 +47,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Silence WindowExec's "No Partition Defined" warning: the only
+    # unpartitioned windows in the engine are final ≤k-row rank windows
+    # that Catalyst has already rewritten onto TakeOrderedAndProject
+    # (per-partition partial top-k; audited in PLANS.md — the window sees at
+    # most k rows, so "moving all data to a single partition" never
+    # happens). The warning fires at plan time regardless (even a literal
+    # partition key folds away), so the honest fix is the logger, not the
+    # plan.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
+    return spark
