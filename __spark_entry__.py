@@ -1651,6 +1651,89 @@ def q_query_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: metrics-as-query, tf-idf features, date histogram
+# ---------------------------------------------------------------------------
+
+_SUB_VALUES = ["surgery", "therapy", "blood", ""]  # 2 critical, 1 not, 1 empty
+
+
+def _metric_triples(docs: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Deterministic (q_id, label, sub) triples derived from `documents` —
+    synthetic ground-truth/prediction frames for the metrics operators
+    (doc_id % 7 selects overlapping-but-different subsets)."""
+    return docs.filter((F.col("doc_id") % 7 >= lo) & (F.col("doc_id") % 7 <= hi)).select(
+        (F.col("doc_id") % 50).alias("q_id"),
+        F.col("lang").alias("label"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _SUB_VALUES]), (F.col("doc_id") % 4 + 1).cast("int")
+        ).alias("sub"),
+    )
+
+
+def _q_prf(spark: SparkSession, sf_dir: str, critical: bool) -> DataFrame:
+    from mtix_spark.pipeline import CRITICAL_SUBHEADINGS, run_metrics
+
+    docs = _tbl(spark, sf_dir, "documents")
+    y_true = _metric_triples(docs, 0, 4)
+    y_pred = _metric_triples(docs, 2, 6)
+    kf = ("sub", CRITICAL_SUBHEADINGS) if critical else None
+    m = run_metrics(y_true, y_pred, ["q_id", "label", "sub"], key_filter=kf)
+    return m.select(
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        "n_true", "n_pred", "n_inter",
+    )
+
+
+def q_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 as a registry operator: P/R/F1 over distinct triples, truth
+    restricted to predicted q_ids (integration_tests/utils.py:8-38)."""
+    return _q_prf(spark, sf_dir, critical=False)
+
+
+def q_prf_metrics_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRITICAL_SUBHEADINGS-filtered metric set
+    (integration_tests/test_pipelines.py:103-106): non-critical, non-empty
+    subs drop from both sides before counting."""
+    return _q_prf(spark, sf_dir, critical=True)
+
+
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized smooth tf-idf weights (sklearn convention:
+    idf = ln((1+N)/(1+df)) + 1) for every term of each sampled doc — the
+    classic sparse feature-extraction step of a text pipeline. One tf
+    shuffle + one broadcast-joined df relation + one per-doc norm agg."""
+    docs = _tbl(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = _docs_tf(docs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sampled = tf.filter(F.col("doc_id") % 20 == 0)
+    w = sampled.join(F.broadcast(dfreq), "term").withColumn(
+        "wraw",
+        F.col("tf")
+        * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wraw") * F.col("wraw"))).alias("nn"))
+    return w.join(nrm, "doc_id").select(
+        "doc_id", "term", F.round(F.col("wraw") / F.col("nn"), 6).alias("weight")
+    )
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch date_histogram facet: per-day × event_type doc counts
+    and value sums over `events` — map-side partial agg, one shuffle."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2735,6 +2818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_years": q_sanitize_years,
         "replace_brackets": q_replace_brackets,
         "query_template": q_query_template,
+        "prf_metrics": q_prf_metrics,
+        "prf_metrics_critical": q_prf_metrics_critical,
+        "tfidf_vectors": q_tfidf_vectors,
+        "date_histogram": q_date_histogram,
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
         "corpus_stats": q_corpus_stats,
@@ -3133,5 +3220,71 @@ FROM (SELECT doc_id, '[' || substr(text, 1, 30) || '] [tail]' AS s FROM document
         "query_template": """
 SELECT doc_id, concat_ws('|', lang, source, substr(text, 1, 40)) AS qtext
 FROM documents
+""",        "prf_metrics": """
+WITH tru0 AS (
+  SELECT DISTINCT doc_id % 50 AS q_id, lang AS label,
+         (['surgery','therapy','blood',''])[CAST(doc_id % 4 AS INT) + 1] AS sub
+  FROM documents WHERE doc_id % 7 BETWEEN 0 AND 4
+), pred0 AS (
+  SELECT DISTINCT doc_id % 50 AS q_id, lang AS label,
+         (['surgery','therapy','blood',''])[CAST(doc_id % 4 AS INT) + 1] AS sub
+  FROM documents WHERE doc_id % 7 BETWEEN 2 AND 6
+), pq AS (SELECT DISTINCT q_id FROM pred0),
+t AS (SELECT * FROM tru0 WHERE q_id IN (SELECT q_id FROM pq)),
+i AS (SELECT * FROM t INTERSECT SELECT * FROM pred0),
+c AS (SELECT (SELECT count(*) FROM t) AS nt,
+             (SELECT count(*) FROM pred0) AS np,
+             (SELECT count(*) FROM i) AS ni)
+SELECT round(ni/(np+1e-9), 6) AS precision,
+       round(ni/(nt+1e-9), 6) AS recall,
+       round(2*(ni/(np+1e-9))*(ni/(nt+1e-9))
+             /((ni/(np+1e-9))+(ni/(nt+1e-9))+1e-9), 6) AS f1,
+       nt AS n_true, np AS n_pred, ni AS n_inter
+FROM c
+""",
+        "prf_metrics_critical": """
+WITH tru0 AS (
+  SELECT DISTINCT doc_id % 50 AS q_id, lang AS label,
+         (['surgery','therapy','blood',''])[CAST(doc_id % 4 AS INT) + 1] AS sub
+  FROM documents WHERE doc_id % 7 BETWEEN 0 AND 4
+), pred0 AS (
+  SELECT DISTINCT doc_id % 50 AS q_id, lang AS label,
+         (['surgery','therapy','blood',''])[CAST(doc_id % 4 AS INT) + 1] AS sub
+  FROM documents WHERE doc_id % 7 BETWEEN 2 AND 6
+), pq AS (SELECT DISTINCT q_id FROM pred0),
+tru1 AS (SELECT * FROM tru0 WHERE sub = '' OR sub IN ('surgery','therapy')),
+pred1 AS (SELECT * FROM pred0 WHERE sub = '' OR sub IN ('surgery','therapy')),
+t AS (SELECT * FROM tru1 WHERE q_id IN (SELECT q_id FROM pq)),
+i AS (SELECT * FROM t INTERSECT SELECT * FROM pred1),
+c AS (SELECT (SELECT count(*) FROM t) AS nt,
+             (SELECT count(*) FROM pred1) AS np,
+             (SELECT count(*) FROM i) AS ni)
+SELECT round(ni/(np+1e-9), 6) AS precision,
+       round(ni/(nt+1e-9), 6) AS recall,
+       round(2*(ni/(np+1e-9))*(ni/(nt+1e-9))
+             /((ni/(np+1e-9))+(ni/(nt+1e-9))+1e-9), 6) AS f1,
+       nt AS n_true, np AS n_pred, ni AS n_inter
+FROM c
+""",
+        "tfidf_vectors": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+  ) GROUP BY 1, 2
+), dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf * (ln((1.0 + n_docs)/(1.0 + df)) + 1.0) AS wraw
+  FROM tf, n JOIN dfreq ON tf.term = dfreq.term
+  WHERE tf.doc_id % 20 = 0
+), nrm AS (SELECT doc_id, sqrt(sum(wraw*wraw)) AS nn FROM w GROUP BY 1)
+SELECT w.doc_id, w.term, round(wraw/nn, 6) AS weight
+FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+""",
+        "date_histogram": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
 """,
     }

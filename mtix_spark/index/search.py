@@ -629,6 +629,25 @@ class SegmentSearcher:
         # dictionary job entirely — at 10^12 docs this holds only the terms
         # this searcher has seen, never the vocabulary
         self._df_cache: dict[str, int] = {}
+        self._df_preloaded = False
+
+    def preload_dictionary(self, max_terms: int = 5_000_000) -> int:
+        """Pull the whole (term, df) dictionary into the driver cache — the
+        serving-node warm ritual (Lucene memory-maps its term dictionary the
+        same way). After this, no query batch pays a dictionary job. Refuses
+        vocabularies past `max_terms` (at 10^12 docs you preload the hot
+        tail instead — the lazy `_df_cache` already is that). Returns the
+        number of terms loaded."""
+        n = self.dictionary.count()
+        if n > max_terms:
+            raise ValueError(
+                f"dictionary has {n} terms > max_terms={max_terms}; "
+                "serve with the lazy per-term cache instead"
+            )
+        for r in self.dictionary.select("term", "df").collect():
+            self._df_cache[r["term"]] = r["df"]
+        self._df_preloaded = True
+        return n
 
     def _tokenize_queries(self, queries) -> list[tuple[int, list[str]]]:
         import re
@@ -659,8 +678,9 @@ class SegmentSearcher:
         if missing:
             for t in missing:
                 self._df_cache[t] = 0
-            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
-                self._df_cache[r["term"]] = r["df"]
+            if not self._df_preloaded:  # after preload, misses are true OOV
+                for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                    self._df_cache[r["term"]] = r["df"]
         tw = term_weights or {}
         idf = {
             t: tw.get(t, 1.0) * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -735,8 +755,9 @@ class SegmentSearcher:
         if missing:
             for t in missing:
                 self._df_cache[t] = 0
-            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
-                self._df_cache[r["term"]] = r["df"]
+            if not self._df_preloaded:  # after preload, misses are true OOV
+                for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                    self._df_cache[r["term"]] = r["df"]
         n_docs, avgdl = self.n_docs, self.avgdl
         idf = {
             t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -808,8 +829,9 @@ class SegmentSearcher:
         if missing:
             for t in missing:
                 self._df_cache[t] = 0
-            for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
-                self._df_cache[r["term"]] = r["df"]
+            if not self._df_preloaded:  # after preload, misses are true OOV
+                for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
+                    self._df_cache[r["term"]] = r["df"]
         idf = {
             t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
             for t in all_terms

