@@ -150,7 +150,7 @@ def main() -> None:
         "rollup_counts", "events_tumbling", "mti_pipeline",
         "wildcard_topk", "fuzzy_topk", "regexp_topk", "synonym_topk",
         "lm_dirichlet_topk", "near_match", "boolean_search",
-        "pack_sequences", "training_order",
+        "pack_sequences", "training_order", "tfidf_vectors", "date_histogram",
     ]
     qs = E.queries()
     for name in suite:
