@@ -497,10 +497,107 @@ def dedup_clusters(
         # fail loudly (long chain-shaped graphs can exceed max_iter)
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to the large-star/small-star variant for chain-shaped graphs"
+            f"({changed} labels still changing); raise max_iter or use "
+            "dedup_clusters_star (O(log n) rounds on chain-shaped graphs)"
         )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    10¹²-node path: O(log n) rounds on ANY graph shape, including the long
+    chains that defeat per-hop min-label propagation. Same fixpoint as
+    `dedup_clusters`: (id, cluster_id = min doc id in the component).
+
+    Each round is two grouped aggregations + joins over the edge relation:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}) — strictly-larger nodes hop to the neighborhood
+      minimum, halving long tails.
+    - small-star(u): every neighbor v ≤ u (and u itself) re-attaches to
+      m = min(Γ≤(u) ∪ {u}) — collapses the remaining local stars.
+
+    Both steps only ever decrease the partner of a node, so the edge
+    relation converges to stars centered at component minima; convergence
+    is detected by an order-insensitive hash of the canonical edge set.
+    `localCheckpoint` truncates the growing plan per round, as in the
+    propagation variant.
+    """
+    edges = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    def edge_sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),  # xor: order-insensitive, overflow-free
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        small = nbrs.filter(F.col("v") <= F.col("u"))
+        m = small.groupBy("u").agg(F.min("v").alias("m"))
+        re_v = small.join(m, "u").select(
+            F.col("m").alias("a"), F.col("v").alias("b")
+        )
+        re_u = m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        return (
+            re_v.unionByName(re_u)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    sig = edge_sig(edges)
+    converged = False
+    for _ in range(max_rounds):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = edge_sig(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge within {max_rounds} rounds"
+        )
+    # fixpoint edges are stars (a = component min, b = member)
+    labels = edges.select(F.col("b").alias("id"), F.col("a").alias("lbl"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", "id").alias("cluster_id"),
+        )
+    )
 
 
 def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -664,3 +664,38 @@ def test_image_dimensions_real_parsing(spark):
     # non-images parse to null, not errors
     nulls = image_dimensions(media.filter(F.col("kind") != "image")).collect()
     assert nulls and all(r["mime"] is None and r["width"] is None for r in nulls)
+
+
+def test_dedup_clusters_star_chain_and_equivalence(spark):
+    """large-star/small-star CC: converges in O(log n) rounds on a
+    200-node chain (min-label propagation would need ~200 rounds) and
+    matches the propagation fixpoint on a mixed random graph."""
+    from mtix_spark.dedup import dedup_clusters, dedup_clusters_star
+
+    # chain: the adversarial shape for per-hop propagation
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = dedup_clusters_star(nodes, chain, max_rounds=15).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == n
+
+    # mixed graph: several components + isolated nodes, compare fixpoints
+    import random
+
+    rng = random.Random(7)
+    m = 120
+    nodes2 = spark.range(m).select(F.col("id").alias("doc_id"))
+    pairs = set()
+    for base in range(0, 100, 20):  # 5 clusters of 20 with random edges
+        ids = list(range(base, base + 20))
+        for _ in range(30):
+            a, b = rng.sample(ids, 2)
+            pairs.add((min(a, b), max(a, b)))
+    pdf = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+    star = sorted(map(tuple, dedup_clusters_star(nodes2, pdf).collect()))
+    prop = sorted(map(tuple, dedup_clusters(nodes2, pdf).collect()))
+    assert star == prop
+    # isolated nodes (100..119) label themselves
+    assert all(c == i for i, c in star if i >= 100)
