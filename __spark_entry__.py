@@ -875,6 +875,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components, computed by the O(log n)-round large-star/small-star
+    algorithm — shares dedup_clusters' recursive-CTE oracle (identical
+    fixpoint), so the driver hash-proves the two algorithms agree."""
+    from mtix_spark.dedup import dedup_clusters_star
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    return dedup_clusters_star(docs, pairs)
+
+
 def _dedup_clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_minhash_oracle()}),
@@ -1717,6 +1728,21 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wraw") * F.col("wraw"))).alias("nn"))
     return w.join(nrm, "doc_id").select(
         "doc_id", "term", F.round(F.col("wraw") / F.col("nn"), 6).alias("weight")
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe cluster probe) — the
+    trained-quantizer twin of knn_lsh; approximate → rows-only check,
+    recall asserted vs brute in pytest."""
+    from mtix_spark.similarity import knn_cosine_ivf
+
+    out = knn_cosine_ivf(
+        _tbl(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=TOPK,
+        n_centroids=16, nprobe=6,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
     )
 
 
@@ -2822,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_metrics_critical": q_prf_metrics_critical,
         "tfidf_vectors": q_tfidf_vectors,
         "date_histogram": q_date_histogram,
+        "knn_ivf": q_knn_ivf,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
         "corpus_stats": q_corpus_stats,
@@ -2941,6 +2969,7 @@ FROM documents GROUP BY 1
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_clusters_star": _dedup_clusters_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "pack_chunks": _pack_chunks_oracle(),

@@ -311,6 +311,37 @@ def read_manifest(paths: IndexPaths) -> dict:
     return man if man is not None else {"segments": {}, "stats": None}
 
 
+def dictionary_dir(paths: IndexPaths, version: int) -> str:
+    return os.path.join(paths.dictionary, f"v={int(version)}")
+
+
+def write_dictionary_version(
+    df: DataFrame, paths: IndexPaths, man: dict
+) -> int:
+    """Write the (term, df, cf) relation as a NEW dictionary version dir and
+    set the manifest pointer (caller commits the manifest LAST — the
+    Iceberg-snapshot discipline: data first, atomic pointer flip after).
+    Version = pointer+1, so a crash-replayed producer recomputes and
+    overwrites the SAME version dir idempotently. Returns the version."""
+    from mtix_spark.table_io import DEFAULT_IO as tio
+
+    new_v = int(man.get("dictionary_version", -1)) + 1
+    tio.overwrite(df, dictionary_dir(paths, new_v))
+    man["dictionary_version"] = new_v
+    return new_v
+
+
+def read_dictionary(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Resolve the live (term, df, cf) dictionary through the manifest's
+    version pointer; falls back to the un-versioned layout of pre-pointer
+    indexes (plain parquet at paths.dictionary)."""
+    man = read_manifest(paths)
+    v = man.get("dictionary_version")
+    if v is not None:
+        return spark.read.parquet(dictionary_dir(paths, int(v)))
+    return spark.read.parquet(paths.dictionary)
+
+
 def _commit_manifest(paths: IndexPaths, manifest: dict) -> None:
     from mtix_spark.table_io import DEFAULT_IO
 
@@ -434,15 +465,16 @@ def build_index(
     t_ph = time.time()
     if os.path.exists(paths.postings):
         live_segs = [int(s) for s in manifest["segments"]]
-        tio2.overwrite(
+        write_dictionary_version(
             tio2.read(spark, paths.postings)
             .filter(F.col("seg").isin(live_segs))
             .groupBy("term")
             .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
-            paths.dictionary,
+            paths,
+            manifest,
         )
     else:  # empty corpus: schema-only dictionary
-        tio2.overwrite(build_dictionary(tf_all), paths.dictionary)
+        write_dictionary_version(build_dictionary(tf_all), paths, manifest)
     phases["dictionary_s"] = round(time.time() - t_ph, 2)
 
     manifest["stats"] = stats

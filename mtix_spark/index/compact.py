@@ -252,4 +252,12 @@ def vacuum_segments(paths: IndexPaths) -> list[str]:
             if d.startswith("seg=") and d.split("=", 1)[1] not in keep:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 removed.append(d)
+    # stale dictionary versions (crash leftovers / superseded snapshots):
+    # everything but the manifest's pointer goes
+    dv = man.get("dictionary_version")
+    if dv is not None and os.path.isdir(paths.dictionary):
+        for d in os.listdir(paths.dictionary):
+            if d.startswith("v=") and d != f"v={int(dv)}":
+                shutil.rmtree(os.path.join(paths.dictionary, d), ignore_errors=True)
+                removed.append(os.path.join("dictionary", d))
     return removed

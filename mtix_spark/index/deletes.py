@@ -333,13 +333,18 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths) -> list[int]:
     for sid in todo:
         shutil.rmtree(os.path.join(root, f"seg={sid}"), ignore_errors=True)
 
-    # dictionary + stats recomputed from the rewritten postings
-    tio.overwrite(
+    # dictionary + stats recomputed from the rewritten postings (purge
+    # changes df/cf, so this is a full re-derivation, written as a new
+    # version with the pointer flipped in the final manifest commit)
+    from mtix_spark.index.build import write_dictionary_version
+
+    write_dictionary_version(
         spark.read.parquet(paths.postings)
         .filter(F.col("seg").isin([int(s) for s in man["segments"]]))
         .groupBy("term")
         .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
-        paths.dictionary,
+        paths,
+        man,
     )
     with open(paths.stats) as f:
         stats = json.load(f)

@@ -621,7 +621,11 @@ class SegmentSearcher:
             self.postings = self.postings.filter(
                 F.col("seg").isin(sorted(self.seg_meta))
             )
-        self.dictionary = spark.read.parquet(paths.dictionary)
+        from mtix_spark.index.build import read_dictionary
+
+        # resolved through the manifest's version pointer (streaming batches
+        # merge the dictionary incrementally and flip the pointer atomically)
+        self.dictionary = read_dictionary(spark, paths)
         self._persisted = persist
         if persist:
             self.dictionary = self.dictionary.persist()

@@ -241,3 +241,137 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + cluster-probe search
+# ---------------------------------------------------------------------------
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment (spherical / cosine): one
+    Arrow batch → one (batch × dim) @ (dim × C) matmul → argmax. The
+    centroid matrix rides a closure broadcast — C × dim doubles, tiny."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    W = Cn.T  # (D, C)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        return pd.Series((M @ W).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means with deterministic
+    init (the vectors of the n_centroids smallest ids — no RNG, so reruns
+    over the same table converge identically up to float-sum order; per-
+    iteration centroid sums are rounded to 9 dp to absorb shuffle-order
+    ULP noise). Each Lloyd iteration is one assignment pass (Arrow matmul
+    kernel) + one (cluster, dim) mean aggregation — rows never collect;
+    only the C × D centroid matrix does."""
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init])
+    for _ in range(iters):
+        assign = _ivf_assign_udf(C)
+        sums = (
+            embeddings.select(assign(F.col(vec_col)).alias("cl"), vec_col)
+            .select("cl", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(
+                F.round(F.sum(F.col("val").cast("double")), 9).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        newC = C.copy()
+        by_cl: dict = {}
+        for r in sums:
+            by_cl.setdefault(int(r["cl"]), []).append(r)
+        for cl, rows in by_cl.items():
+            vec = np.zeros(C.shape[1])
+            for r in rows:
+                vec[int(r["pos"])] = float(r["s"]) / float(r["n"])
+            if np.linalg.norm(vec) > 0:
+                newC[cl] = vec
+        C = newC
+    return C
+
+
+def knn_cosine_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: k-means centroids partition the
+    corpus into inverted lists; each query probes its `nprobe` nearest
+    centroids and scores EXACT cosine only inside those lists.
+
+    The trained-quantizer twin of `knn_cosine_lsh` (SURVEY's "IVF or
+    LSH-bucketed variant"): same output contract (query_id, rank, vec_id,
+    cosine@6dp, tie-break cosine DESC / vec_id ASC), scores exact on the
+    candidate set, recall data-dependent (asserted vs brute in tests).
+    Candidate generation is a broadcast equi-join on the cluster id —
+    shuffle bounded by probed-list sizes, never O(n²). At 10¹² rows the
+    quantizer trains on a sample and lists shard by (cluster, range)."""
+    C = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col)
+    assign = _ivf_assign_udf(C)
+    assigned = embeddings.select(
+        id_col, vec_col, assign(F.col(vec_col)).alias("cl")
+    )
+
+    qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        id_col, vec_col
+    ).collect()  # bounded: the query set
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probes = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-30)
+        top = np.argsort(-(Cn @ v), kind="stable")[:nprobe]
+        probes.extend((int(r[id_col]), int(c)) for c in top)
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cl int")
+    qvecs = spark.createDataFrame(
+        [(int(r[id_col]), list(map(float, r[vec_col]))) for r in qrows],
+        f"query_id long, qvec array<double>",
+    )
+
+    cand = assigned.join(F.broadcast(probe_df), "cl").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = (
+        cand.dropDuplicates(["query_id", id_col])
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine")
+    )

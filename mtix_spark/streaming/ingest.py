@@ -155,24 +155,38 @@ def stream_index_ingest(
             seg_id,
         )
         docs.unpersist()
-        # refresh the global dictionary from the postings relation (derived
-        # data — a replayed batch just rewrites it). df/cf sum cleanly over
-        # doc-range-disjoint segments. At 10^12 scale this becomes an
-        # incremental merge keyed by term; per-batch recompute is the
-        # sandbox-size rendition of the same derivation. The read MUST be
-        # filtered to the manifest's live segment set (+ this batch): orphan
-        # seg dirs are a supported crash state (compaction commits the
-        # manifest before deleting old dirs), and an unfiltered scan would
-        # double-count df/cf for every term in the compacted segments.
+        # INCREMENTAL dictionary merge: previous version ⊕ this segment's
+        # (term, df_seg, cf_seg) delta — per-batch cost ∝ vocabulary + one
+        # segment, never the full postings relation. Crash-safe via the
+        # version-pointer discipline (write_dictionary_version): the new
+        # version dir lands first, the manifest pointer flips in the atomic
+        # commit at the end of this batch; a replay after a crash in
+        # between recomputes from the UNMOVED pointer and overwrites the
+        # same version dir idempotently. Orphan seg dirs can't pollute this
+        # derivation — only the new segment's own partition is read.
         sess = batch_df.sparkSession
-        live_segs = [int(s) for s in man["segments"]] + [seg_id]
-        tio.overwrite(
-            tio.read(sess, paths.postings)
-            .filter(F.col("seg").isin(live_segs))
+        from mtix_spark.index.build import read_dictionary, write_dictionary_version
+
+        delta = (
+            sess.read.parquet(os.path.join(paths.postings, f"seg={seg_id}"))
             .groupBy("term")
-            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")),
-            paths.dictionary,
+            .agg(F.sum("df_seg").alias("d_df"), F.sum("cf_seg").alias("d_cf"))
         )
+        if man["segments"]:  # previous corpus exists → merge
+            prev = read_dictionary(sess, paths)
+            merged = (
+                prev.join(delta, "term", "full_outer")
+                .select(
+                    "term",
+                    (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+                    (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+                )
+            )
+        else:
+            merged = delta.select(
+                "term", F.col("d_df").alias("df"), F.col("d_cf").alias("cf")
+            )
+        write_dictionary_version(merged, paths, man)
         man["segments"][str(seg_id)] = {
             "min_doc": hwm + 1,
             "max_doc": hwm + n_batch,

@@ -499,7 +499,7 @@ def test_stream_dictionary_ignores_orphan_segments(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from mtix_spark.corpus import synth_corpus
-    from mtix_spark.index.build import IndexPaths, read_manifest
+    from mtix_spark.index.build import IndexPaths, read_dictionary, read_manifest
     from mtix_spark.streaming.ingest import stream_index_ingest
 
     src = str(tmp_path / "src")
@@ -529,7 +529,7 @@ def test_stream_dictionary_ignores_orphan_segments(spark, tmp_path):
         .groupBy("term")
         .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
     )
-    got = spark.read.parquet(paths.dictionary)
+    got = read_dictionary(spark, paths)
     a = sorted(map(tuple, expected.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
@@ -699,3 +699,89 @@ def test_dedup_clusters_star_chain_and_equivalence(spark):
     assert star == prop
     # isolated nodes (100..119) label themselves
     assert all(c == i for i, c in star if i >= 100)
+
+
+def test_stream_dictionary_incremental_merge_versions(spark, tmp_path):
+    """Streaming dictionary maintenance is an INCREMENTAL merge (prev
+    version ⊕ new segment delta) behind a manifest version pointer: values
+    equal a full recompute over live segments, the pointer advances per
+    batch, and vacuum drops superseded versions but never the live one."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mtix_spark.corpus import synth_corpus
+    from mtix_spark.index.build import (
+        IndexPaths,
+        dictionary_dir,
+        read_dictionary,
+        read_manifest,
+    )
+    from mtix_spark.index.compact import vacuum_segments
+    from mtix_spark.streaming.ingest import stream_index_ingest
+
+    src = str(tmp_path / "src")
+    synth_corpus(spark, 90, n_parts=3).write.parquet(src)
+    idx = str(tmp_path / "vidx")
+    ckpt = str(tmp_path / "ckpt")
+    stream_index_ingest(spark, src, idx, ckpt).awaitTermination(120)
+    paths = IndexPaths(idx)
+    man = read_manifest(paths)
+    v1 = int(man["dictionary_version"])
+    assert os.path.isdir(dictionary_dir(paths, v1))
+
+    # second wave of files → more batches → pointer advances
+    synth_corpus(spark, 30, n_parts=1).write.mode("append").parquet(src)
+    stream_index_ingest(spark, src, idx, ckpt).awaitTermination(120)
+    man2 = read_manifest(paths)
+    v2 = int(man2["dictionary_version"])
+    assert v2 > v1
+
+    # incremental result == full recompute over the manifest's live segments
+    live = [int(s) for s in man2["segments"]]
+    expected = sorted(
+        map(
+            tuple,
+            spark.read.parquet(paths.postings)
+            .filter(F.col("seg").isin(live))
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, read_dictionary(spark, paths).collect()))
+    assert got == expected
+
+    # vacuum clears superseded versions, keeps the pointer
+    removed = vacuum_segments(paths)
+    assert any(r.startswith("dictionary/") for r in removed)
+    left = {d for d in os.listdir(paths.dictionary) if d.startswith("v=")}
+    assert left == {f"v={v2}"}
+    assert sorted(map(tuple, read_dictionary(spark, paths).collect())) == expected
+
+
+def test_knn_ivf_recall_and_exact_scores(spark, emb500):
+    """IVF ANN: probed-cluster candidates score EXACT cosine (values equal
+    brute for shared pairs); recall floor vs brute top-k; self excluded."""
+    from mtix_spark.similarity import knn_cosine_brute, knn_cosine_ivf
+
+    ids = [0, 1, 2, 3, 4]
+    brute = knn_cosine_brute(emb500, ids, k=10).collect()
+    ivf = knn_cosine_ivf(
+        emb500, ids, k=10, n_centroids=8, nprobe=4
+    ).collect()
+    assert all(r["vec_id"] not in ids or r["vec_id"] != r["query_id"] for r in ivf)
+    bscore = {(r["query_id"], r["vec_id"]): r["cosine"] for r in brute}
+    hits = 0
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in bscore:
+            assert abs(r["cosine"] - bscore[key]) < 1e-9  # exact on candidates
+            hits += 1
+    assert hits / len(brute) >= 0.5  # data-limited recall floor (weak sims)
+    # probing ALL clusters must recover brute exactly
+    full = knn_cosine_ivf(emb500, ids, k=10, n_centroids=8, nprobe=8).collect()
+    a = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in full)
+    b = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in brute)
+    assert a == b
