@@ -231,9 +231,15 @@ def _maxscore_kernel(
         if cand_local.size == 0:
             continue
         kk = min(k, cand_local.size)
-        top = np.argpartition(-cand_acc, kk - 1)[:kk]
-        order = np.lexsort((cand_local[top], -cand_acc[top]))  # score desc, doc asc
-        top = top[order]
+        part = np.argpartition(-cand_acc, kk - 1)[:kk]
+        # argpartition picks ARBITRARY members of a tied class at the kth
+        # boundary; a dropped smaller-doc_id tie would then lose to a kept
+        # larger one in the global merge, diverging from the oracle's
+        # (score DESC, doc_id ASC) order. Widen to every boundary tie, sort
+        # deterministically, THEN cut.
+        cand = np.flatnonzero(cand_acc >= cand_acc[part].min())
+        order = np.lexsort((cand_local[cand], -cand_acc[cand]))  # score desc, doc asc
+        top = cand[order][:kk]
         out["query_id"].extend([qid] * top.size)
         out["doc_id"].extend((cand_local[top] + seg_base).tolist())
         out["score"].extend(np.round(cand_acc[top], SCORE_DECIMALS).tolist())

@@ -463,3 +463,24 @@ def test_merged_searcher_dl_memory_proportional_to_touched_blocks(
         for q, rk, d, sc in ms.search(queries, k=25).itertuples(index=False)
     )
     assert warm == brute
+
+
+def test_segment_kernel_boundary_ties_deterministic(spark, tmp_path):
+    """A tie class spanning the per-segment top-k boundary must resolve by
+    doc_id ASC (the oracle's order) — argpartition alone picks arbitrary
+    tie members, which the global merge then can't repair."""
+    from mtix_spark.index.build import assign_doc_ids, build_index
+    from mtix_spark.index.search import bm25_topk_segments
+
+    # 40 identical docs in one segment: every score ties exactly
+    rows = [("r", f"d{i:03d}.py", "c", "py", "tied alpha beta") for i in range(40)]
+    docs = assign_doc_ids(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        ),
+        4,
+    )
+    paths = build_index(spark, docs, str(tmp_path / "tieidx"), n_segments=1)
+    got = bm25_topk_segments(spark, paths, [(1, "tied")], k=10).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(10))
+    assert len({r["score"] for r in got}) == 1
