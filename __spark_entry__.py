@@ -1746,6 +1746,40 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: per-doc duplicate-token and duplicate-
+    3-gram fractions (training-data quality gate)."""
+    from mtix_spark.functions.text import with_repetition_stats
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "text", n=3).select(
+        "doc_id", "n_tokens", "dup_token_frac", "dup_ngram_frac"
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate dictionary: 5-grams occurring in >= 3 distinct
+    docs (corpus-frequency discovery; one explode + one gram-keyed agg)."""
+    from mtix_spark.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(_tbl(spark, sf_dir, "documents"), n=5, min_docs=3)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a deterministically PII-planted text column: emails
+    and NNN-NNN-NNNN phones -> typed placeholders (JVM regexp chain)."""
+    from mtix_spark.functions.text import scrub_pii
+
+    docs = _tbl(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567 now"),
+    )
+    return docs.select("doc_id", scrub_pii(planted).alias("clean_text"))
+
+
 def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elasticsearch date_histogram facet: per-day × event_type doc counts
     and value sums over `events` — map-side partial agg, one shuffle."""
@@ -2850,6 +2884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "knn_ivf": q_knn_ivf,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "gopher_repetition": q_gopher_repetition,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "pii_scrub": q_pii_scrub,
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
         "corpus_stats": q_corpus_stats,
@@ -3315,5 +3352,31 @@ FROM w JOIN nrm ON w.doc_id = nrm.doc_id
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",        "gopher_repetition": """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS l FROM documents),
+g AS (SELECT doc_id, l, CASE WHEN len(l) >= 3 THEN list_transform(range(len(l) - 2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]) ELSE [] END AS grams FROM t)
+SELECT doc_id, len(l)::BIGINT AS n_tokens,
+  round(CASE WHEN len(l) > 0
+        THEN 1.0 - len(list_distinct(l))::DOUBLE / len(l)::DOUBLE
+        ELSE 0.0 END, 6) AS dup_token_frac,
+  round(CASE WHEN len(grams) > 0
+        THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+        ELSE 0.0 END, 6) AS dup_ngram_frac
+FROM g
+""",
+        "boilerplate_ngrams": """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS l FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(l) - 4), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5]))) AS gram FROM t WHERE len(l) >= 5)
+SELECT gram, count(*)::BIGINT AS n_docs FROM sh GROUP BY 1 HAVING count(*) >= 3
+""",
+        "pii_scrub": """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      substr(text, 1, 50) || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail.example.com or 555-123-4567 now',
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+    '\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b', '<PHONE>', 'g') AS clean_text
+FROM documents
 """,
     }

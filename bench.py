@@ -151,6 +151,8 @@ def main() -> None:
         "wildcard_topk", "fuzzy_topk", "regexp_topk", "synonym_topk",
         "lm_dirichlet_topk", "near_match", "boolean_search",
         "pack_sequences", "training_order", "tfidf_vectors", "date_histogram",
+        "gopher_repetition", "pii_scrub", "boilerplate_ngrams", "knn_ivf",
+        "dedup_clusters_star",
     ]
     qs = E.queries()
     for name in suite:

@@ -680,3 +680,29 @@ def simhash_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate discovery, re-expressed over token n-grams
+    (this corpus has no line structure): an n-gram occurring in ≥ min_docs
+    DISTINCT docs is boilerplate (headers, license blurbs, templates) that
+    a training pipeline strips or down-weights. One explode + one
+    count-distinct-by-gram shuffle with map-side partial aggregation;
+    output is the (tiny) boilerplate dictionary (gram, n_docs) — the scrub
+    step broadcasts it back against the corpus, the corpus never
+    self-joins."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # ids distinct per doc already
+        .filter(F.col("n_docs") >= min_docs)
+    )

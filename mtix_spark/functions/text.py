@@ -178,3 +178,56 @@ def content_sha256(col: Column | str) -> Column:
     """Per-row invariant vs. the source table (BASELINE.json:input_hint)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(c, 256)
+
+
+def with_repetition_stats(df, text_col: str, n: int = 3):
+    """Gopher-style repetition quality signals (Rae et al., Gopher rules):
+    per doc, the fraction of duplicate tokens and of duplicate token
+    n-grams — high values flag boilerplate/templated docs a training
+    pipeline drops. Pure Column math over one tokenize projection:
+    dup_frac = 1 - distinct/total (0.0 for empty docs). Adds columns
+    (n_tokens, dup_token_frac, dup_ngram_frac)."""
+    tmp = "__toks"
+    pre = df.withColumn(tmp, tokenize(text_col))
+    toks = F.col(tmp)
+    n_tok = F.size(toks)
+    dup_tok = F.when(
+        n_tok > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # n_tok-n+1 n-grams via transform (sequence is inclusive; guarded —
+    # sequence(0, negative) would generate a DESCENDING range); grams join
+    # with a space, which the tokenizer guarantees absent from tokens
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_gram = F.size(grams)
+    dup_gram = F.when(
+        n_gram > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n_gram.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        pre.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("dup_token_frac", F.round(dup_tok, 6))
+        .withColumn("dup_ngram_frac", F.round(dup_gram, 6))
+        .drop(tmp)
+    )
+
+
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """PII masking kernel for training corpora: email addresses and
+    NNN-NNN-NNNN phone shapes replaced by typed placeholders. Pure Column
+    regexp_replace chain (JVM-side); the patterns stay inside the regex
+    subset Java and RE2 implement identically, so the DuckDB oracle is
+    bit-exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")

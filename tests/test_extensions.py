@@ -785,3 +785,58 @@ def test_knn_ivf_recall_and_exact_scores(spark, emb500):
     a = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in full)
     b = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in brute)
     assert a == b
+
+
+def test_repetition_stats_and_pii_scrub(spark):
+    """Gopher repetition fractions on crafted docs; PII scrub edge cases."""
+    from mtix_spark.functions.text import scrub_pii, with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # 4 tokens, 1 distinct -> 0.75 dup
+            (2, "a b c d"),            # all distinct -> 0.0
+            (3, "a b a b a b"),        # 3-grams: [aba, bab, aba, bab] -> 0.5
+            (4, ""),                   # empty -> 0.0 / 0.0
+            (5, "x y"),                # shorter than n -> gram frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["dup_ngram_frac"])
+        for r in with_repetition_stats(docs, "text", n=3).collect()
+    }
+    assert got[1] == (4, 0.75, 0.5)       # grams [aaa, aaa] -> 0.5
+    assert got[2] == (4, 0.0, 0.0)
+    assert got[3] == (6, round(1.0 - 2 / 6, 6), 0.5)
+    assert got[4] == (0, 0.0, 0.0)
+    assert got[5] == (2, 0.0, 0.0)
+
+    pii = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@sub.example.co.uk today"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "no pii here, just code@ and 12-34"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean"] for r in pii.select(
+        "doc_id", scrub_pii("text").alias("clean")).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "call <PHONE> or <PHONE> now"
+    assert out[3] == "no pii here, just code@ and 12-34"
+
+
+def test_boilerplate_ngrams_discovery(spark):
+    """A planted license blurb shared by many docs surfaces; unique
+    content does not."""
+    from mtix_spark.dedup import boilerplate_ngrams
+
+    blurb = "licensed under the apache license version"
+    rows = [(i, f"{blurb} unique{i} tail{i} more{i}") for i in range(10)]
+    rows += [(100 + i, f"totally unique document number {i} content") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gram"]: r["n_docs"] for r in boilerplate_ngrams(docs, n=5, min_docs=5).collect()}
+    assert got["licensed under the apache license"] == 10
+    assert got["under the apache license version"] == 10
+    assert all(n >= 5 for n in got.values())
+    assert not any("unique" in g for g in got)
