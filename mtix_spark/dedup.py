@@ -75,7 +75,12 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles (distinct) as array<string>."""
+    """Token n-gram shingles (distinct) as array<string>.
+
+    NOTE: as a pure Column expression this embeds the tokenize subtree
+    inside the transform lambda, which Catalyst cannot CSE — fine for
+    one-off use, but hot relational paths should go through
+    `shingle_rows` (split-once; measured ~4-5× faster at sf0.1)."""
     toks = tokenize(col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
@@ -84,6 +89,29 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, id_out: str = "id"
+) -> DataFrame:
+    """(id, sh) exploded DISTINCT token n-gram relation, split-once: the
+    token array materializes as a column BEFORE the gram transform, so the
+    regex tokenize runs exactly once per row (a Column-only shingles()
+    re-evaluates it per gram element — the with_language_id CSE lesson)."""
+    pre = df.select(
+        F.col(id_col).alias(id_out), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return pre.select(id_out, F.explode(grams_arr).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -101,9 +129,7 @@ def ngram_jaccard_pairs(
     Only pairs sharing ≥1 shingle are ever materialized (not O(n²)).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
+    sh = shingle_rows(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -152,14 +178,8 @@ def contaminated_docs(
     100 TB the probe set (benchmarks) is always the small side, so the
     plan's broadcast shape is the right one at any corpus scale.
     """
-    doc_sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
-    )
-    probe_sh = probes.select(
-        F.col(probe_id_col).alias("probe_id"),
-        F.explode(shingles(F.col(probe_text_col), n)).alias("sh"),
-    )
+    doc_sh = shingle_rows(docs, id_col, text_col, n, id_out="doc_id")
+    probe_sh = shingle_rows(probes, probe_id_col, probe_text_col, n, id_out="probe_id")
     return (
         doc_sh.join(F.broadcast(probe_sh), "sh")
         .groupBy("doc_id", "probe_id")
@@ -697,10 +717,11 @@ def boilerplate_ngrams(
     output is the (tiny) boilerplate dictionary (gram, n_docs) — the scrub
     step broadcasts it back against the corpus, the corpus never
     self-joins."""
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
-    )
+    # split-once: materialize the token array BEFORE the gram transform —
+    # shingles() embeds the tokenize subtree inside the lambda n times,
+    # which defeats Catalyst CSE (the with_language_id lesson; measured
+    # 57s → ~3s at sf0.1 for this operator)
+    grams = shingle_rows(docs, id_col, text_col, n).withColumnRenamed("sh", "gram")
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))  # ids distinct per doc already

@@ -66,9 +66,20 @@ def stream_index_ingest(
     input_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    with_positions: bool = False,
 ):
     """Incremental index ingestion: each micro-batch of new corpus files
     becomes one immutable segment (seg id = micro-batch id offset).
+
+    `with_positions=True` additionally builds the batch's POSITIONAL
+    segment inside the same micro-batch (one extra Arrow tokenize pass over
+    only the batch's docs) and registers it in `positions_segments` — a
+    live-streamed index then serves phrase/NEAR/span queries with no
+    separate `build_positions` pass. That matters at corpus scale:
+    positionizing a streamed segment after the fact would re-read the WHOLE
+    docs relation (build_positions derives geometry from the full frame);
+    per-batch build touches only the new rows. Same idempotent-overwrite +
+    manifest-last crash discipline as the tf segment.
 
     docIDs are assigned per-batch above a high-water mark recorded in the
     manifest; global stats (N, avgdl) are maintained incrementally in
@@ -154,6 +165,25 @@ def stream_index_ingest(
             "seg",
             seg_id,
         )
+        if with_positions:
+            from mtix_spark.index.positions import (
+                POSITIONS_SCHEMA,
+                _build_segment_positions,
+                build_tf_positions,
+            )
+
+            tfp = build_tf_positions(docs).withColumn(
+                "seg", F.lit(seg_id).cast("int")
+            )
+            positional = tfp.groupBy("seg").applyInPandas(
+                lambda pdf: _build_segment_positions(pdf), POSITIONS_SCHEMA
+            )
+            tio.overwrite_partition(
+                positional, os.path.join(index_dir, "positions"), "seg", seg_id
+            )
+            man["positions_segments"] = sorted(
+                set(man.get("positions_segments", [])) | {seg_id}
+            )
         docs.unpersist()
         # INCREMENTAL dictionary merge: previous version ⊕ this segment's
         # (term, df_seg, cf_seg) delta — per-batch cost ∝ vocabulary + one

@@ -840,3 +840,58 @@ def test_boilerplate_ngrams_discovery(spark):
     assert got["under the apache license version"] == 10
     assert all(n >= 5 for n in got.values())
     assert not any("unique" in g for g in got)
+
+
+def test_stream_ingest_with_positions_serves_phrases(spark, tmp_path):
+    """with_positions=True: a live-streamed index answers phrase queries
+    with NO separate build_positions pass, and the results are identical
+    to a batch-built positional index over the same rows (modulo the id
+    assignment, compared via the docmap path mapping)."""
+    import re
+
+    from mtix_spark.corpus import synth_corpus
+    from mtix_spark.index.build import (
+        IndexPaths,
+        assign_doc_ids,
+        build_index,
+        read_manifest,
+    )
+    from mtix_spark.index.positions import build_positions, phrase_topk
+    from mtix_spark.streaming.ingest import stream_index_ingest
+
+    src = str(tmp_path / "src")
+    synth_corpus(spark, 150, n_parts=8).write.parquet(src)
+    idx = str(tmp_path / "spidx")
+    q = stream_index_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), with_positions=True
+    )
+    q.awaitTermination(120)
+    paths = IndexPaths(idx)
+    man = read_manifest(paths)
+    assert len(man["segments"]) > 1
+    assert sorted(man["positions_segments"]) == sorted(
+        int(s) for s in man["segments"]
+    )
+
+    c = spark.read.parquet(src).select("content").first()["content"]
+    toks = [t for t in re.split(r"[^a-z0-9_]+", c.lower()) if t]
+    phrases = [(1, " ".join(toks[:2])), (2, " ".join(toks[:3]))]
+    stream_hits = phrase_topk(spark, paths, phrases, k=10_000)
+
+    # batch twin over the same rows; compare via (path, n_occ) since the
+    # two builds assign different dense ids
+    bidx = str(tmp_path / "bpidx")
+    docs = assign_doc_ids(spark.read.parquet(src), 4)
+    bpaths = build_index(spark, docs, bidx, n_segments=4)
+    build_positions(spark, docs, bpaths)
+    batch_hits = phrase_topk(spark, bpaths, phrases, k=10_000)
+
+    def by_path(hits, p):
+        dm = spark.read.parquet(p.docmap).select("doc_id", "path")
+        return sorted(
+            (r["query_id"], r["path"], r["n_occ"])
+            for r in hits.join(dm, "doc_id").collect()
+        )
+
+    assert by_path(stream_hits, paths) == by_path(batch_hits, bpaths)
+    assert by_path(stream_hits, paths)  # non-empty
