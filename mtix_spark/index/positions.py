@@ -240,7 +240,7 @@ def build_positions(
             ).drop("lo", "hi")
         tfp = tfp.filter(F.col("seg").isin(todo))
         positional = tfp.groupBy("seg").applyInPandas(
-            lambda pdf: _build_segment_positions(pdf), POSITIONS_SCHEMA
+            _build_segment_positions, POSITIONS_SCHEMA
         )
         tio.overwrite_partitions(positional, out, "seg")
         man = read_manifest(paths)

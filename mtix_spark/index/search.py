@@ -1000,27 +1000,40 @@ class MergedSearcher:
             for s, m in man["segments"].items()
         )
         self._del_segs: dict[int, np.ndarray] = {}
+        self._del_merged: dict[tuple, np.ndarray] = {}
 
     def _segs_overlapping(self, lo: int, hi: int) -> list[int]:
         return [s for mn, mx, s in self._seg_ranges if mx >= lo and mn <= hi]
 
     def _deleted_for(self, lo: int, hi: int) -> np.ndarray:
         """Sorted tombstones restricted to segments intersecting [lo, hi] —
-        loaded per segment on first touch, never the global union."""
+        loaded per segment on first touch, never the global union. The
+        merged array is memoized per contributing segment-id tuple: _fetch
+        calls this once per posting list, and common terms share the same
+        segment cover, so the concat+unique runs once per cover, not per
+        term."""
         import os
 
         from mtix_spark.index.deletes import load_deleted
 
         root = os.path.join(self.paths.root, "deletes")
+        segs = tuple(self._segs_overlapping(lo, hi))
+        hit = self._del_merged.get(segs)
+        if hit is not None:
+            return hit
         parts = []
-        for s in self._segs_overlapping(lo, hi):
+        for s in segs:
             if s not in self._del_segs:
                 self._del_segs[s] = load_deleted(root, s, self._delete_epoch)
             if self._del_segs[s].size:
                 parts.append(self._del_segs[s])
-        if not parts:
-            return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(parts))
+        out = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        self._del_merged[segs] = out
+        return out
 
     def _load_dl_block(self, b: int) -> np.ndarray:
         """dl values for docs [b*dl_block, (b+1)*dl_block) — reads only the
@@ -1120,6 +1133,11 @@ class MergedSearcher:
                 cat_contrib.append(w)
             ids = np.concatenate(cat_ids)
             contrib = np.concatenate(cat_contrib)
+            if ids.size == 0:
+                # every posting of every query term is tombstoned — a
+                # fully-deleted term stays in the cache as empty arrays;
+                # the query returns no rows rather than crashing the batch
+                continue
             uniq, inv = np.unique(ids, return_inverse=True)
             acc = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(acc, inv, contrib)

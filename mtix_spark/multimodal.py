@@ -146,9 +146,17 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
             if payload[i] != 0xFF:
                 i += 1
                 continue
+            # consume 0xFF fill bytes (legal padding before any marker)
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker == 0x00:  # stuffed data byte, not a marker
                 i += 2
+                continue
+            if marker == 0xD9:  # EOI — no SOF found
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # length-less markers
                 continue
             if i + 4 > len(payload):
                 break

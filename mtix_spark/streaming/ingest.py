@@ -176,7 +176,7 @@ def stream_index_ingest(
                 "seg", F.lit(seg_id).cast("int")
             )
             positional = tfp.groupBy("seg").applyInPandas(
-                lambda pdf: _build_segment_positions(pdf), POSITIONS_SCHEMA
+                _build_segment_positions, POSITIONS_SCHEMA
             )
             tio.overwrite_partition(
                 positional, os.path.join(index_dir, "positions"), "seg", seg_id

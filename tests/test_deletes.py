@@ -165,3 +165,35 @@ def test_bulk_delete_dataframe_ids_never_collected(spark, del_index):
     after = _topk(spark, paths, queries)
     assert after  # plenty of survivors
     assert not any(d in deleted for _, _, d, _ in after)
+
+
+def test_merged_searcher_fully_deleted_term_returns_empty(spark, del_index):
+    """Deleting EVERY doc that contains a term must make merged-path
+    queries for it return no rows — not crash on an empty accumulator."""
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.search import MergedSearcher
+
+    docs, paths = del_index
+    merge_postings(spark, paths, hot_df=10_000)
+    # pick a real term and tombstone every doc containing it
+    import re
+
+    c = docs.select("content").first()["content"]
+    term = next(t for t in re.split(r"[^a-z0-9_]+", c.lower()) if t)
+    from mtix_spark.index.search import SegmentSearcher
+
+    holders = {
+        r["doc_id"]
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search([(1, term)], k=10_000)
+        .collect()
+    }
+    assert holders
+    assert delete_docs(spark, paths, sorted(holders)) == len(holders)
+
+    ms = MergedSearcher(spark, paths)
+    got = ms.search([(1, term)], k=10)
+    assert got.empty
+    # mixed batch: the dead-term query contributes nothing, others still work
+    alive = ms.search([(1, term), (2, "the")], k=5)
+    assert set(alive["query_id"]) <= {2}

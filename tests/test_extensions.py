@@ -646,6 +646,20 @@ def test_image_dimensions_real_parsing(spark):
         + b"\xff\xd9"
     )
     assert parse_image_dims(jpeg) == ("image/jpeg", 640, 480)
+    # JPEG with 0xFF fill padding before markers and a stuffed 0xFF00 byte
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\x00"  # stuffed byte, not a marker
+        + b"\xff\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (12).to_bytes(2, "big") + (34).to_bytes(2, "big")
+        + b"\x03" + bytes(9)
+        + b"\xff\xd9"
+    )
+    assert parse_image_dims(jpeg_fill) == ("image/jpeg", 34, 12)
+    # truncated JPEG reaching EOI without SOF -> None, no exception
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") is None
     gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
     assert parse_image_dims(gif) == ("image/gif", 320, 200)
     assert parse_image_dims(b"not an image at all") is None

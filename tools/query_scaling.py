@@ -46,14 +46,15 @@ searcher.search(qset[:2], k=10).collect()
 # the timed action is a DISTRIBUTED sink (parquet write), the cluster-shaped
 # completion of a query batch — collect() would serialize every result row
 # through the driver single-threaded and measure the driver, not the engine
-sink = tempfile.mkdtemp(prefix=f"qsink{cpus}_") + "/out"
+sink_root = tempfile.mkdtemp(prefix=f"qsink{cpus}_")
+sink = sink_root + "/out"
 t0 = time.time()
 searcher.search(qset, k=100).write.mode("overwrite").parquet(sink)
 wall = time.time() - t0
 rows = spark.read.parquet(sink).collect()  # untimed: rank-identity hash
 result = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows)
 rh = hashlib.sha256(json.dumps(result).encode()).hexdigest()
-shutil.rmtree(sink, ignore_errors=True)
+shutil.rmtree(sink_root, ignore_errors=True)
 print("RESULT " + json.dumps({
     "cpus": cpus, "query_s": round(wall, 2),
     "qps": round(len(qset) / wall, 1), "result_sha": rh,
