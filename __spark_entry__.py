@@ -2831,10 +2831,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is correctness-gate-significant: the driver oracles the FIRST 50
-    # keys. Round-3 ordering puts the 43 entries that had no CORRECTNESS_r02 row first
-    # (VERDICT.md "Next round" #1), followed by round-3 additions, then the entries
-    # already driver-proven green in r01/r02.
+    # keys. Round-4 rotation (VERDICT r3 "Next round" #1): knn_ivf and pii_scrub — the
+    # only two entries that never had a driver row — lead the window, back-filled with
+    # the 48 r01-era entries whose last driver row was r01/r02, so the gate both covers
+    # the never-checked pair and re-proves non-regression of rotated-out entries. The
+    # 50 entries driver-proven green in r03 (CORRECTNESS_r03.json 50/50) move past the
+    # window, plus doc_fingerprint/knn_lsh (rows-only by design, judge-re-verified r3).
     return {
+        # never driver-checked until r04 (ADVICE r3 low #5)
+        "knn_ivf": q_knn_ivf,
+        "pii_scrub": q_pii_scrub,
+        # r01-era re-proof cross-section
+        "tf_postings": q_tf_postings,
+        "term_dict": q_term_dict,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_index_topk": q_bm25_index_topk,
+        "bm25_merged_topk": q_bm25_merged_topk,
+        "doc_sha256": q_doc_sha256,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "pack_chunks": q_pack_chunks,
+        "training_order": q_training_order,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_cosine": q_knn_cosine,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "topn_per_key": q_topn_per_key,
+        "run_fusion": q_run_fusion,
+        "threshold_topn": q_threshold_topn,
+        "dim_join_revenue": q_dim_join_revenue,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "bm25_and_topk": q_bm25_and_topk,
+        "bm25_deleted_topk": q_bm25_deleted_topk,
+        "bm25_facets": q_bm25_facets,
+        "bm25f_topk": q_bm25f_topk,
+        "boolean_search": q_boolean_search,
+        "wildcard_topk": q_wildcard_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "regexp_topk": q_regexp_topk,
+        # ---- end of the driver's 50-key gate window ----
+        # rows-only by design, judge-re-verified r3 (VERDICT r3)
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_lsh": q_knn_lsh,
+        # driver-proven green in r03 (CORRECTNESS_r03.json: 50/50 rows+schema+hash)
         "wildcard_constant": q_wildcard_constant,
         "range_topk": q_range_topk,
         "suggest_topk": q_suggest_topk,
@@ -2885,62 +2945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "gopher_repetition": q_gopher_repetition,
         "boilerplate_ngrams": q_boilerplate_ngrams,
-        # rows-only knn_ivf and pii_scrub sit just past the driver's 50-key
-        # gate window (43 rotated + 7 new hash-checked fill it); both are
-        # locally oracle-verified (tools/check_oracles.py) and rotate into
-        # the window next round
-        "knn_ivf": q_knn_ivf,
-        "pii_scrub": q_pii_scrub,
-        "tf_postings": q_tf_postings,
-        "term_dict": q_term_dict,
-        "corpus_stats": q_corpus_stats,
-        "bm25_topk": q_bm25_topk,
-        "bm25_index_topk": q_bm25_index_topk,
-        "bm25_merged_topk": q_bm25_merged_topk,
-        "doc_sha256": q_doc_sha256,
-        "token_count": q_token_count,
-        "language_id": q_language_id,
-        "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "bpe_token_count": q_bpe_token_count,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "pack_chunks": q_pack_chunks,
-        "training_order": q_training_order,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "embed_near_dup": q_embed_near_dup,
-        "embed_near_dup_lsh": q_embed_near_dup_lsh,
-        "topn_per_key": q_topn_per_key,
-        "run_fusion": q_run_fusion,
-        "threshold_topn": q_threshold_topn,
-        "dim_join_revenue": q_dim_join_revenue,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "bm25_and_topk": q_bm25_and_topk,
-        "bm25_deleted_topk": q_bm25_deleted_topk,
-        "bm25_facets": q_bm25_facets,
-        "bm25f_topk": q_bm25f_topk,
-        "boolean_search": q_boolean_search,
-        "wildcard_topk": q_wildcard_topk,
-        "fuzzy_topk": q_fuzzy_topk,
-        "regexp_topk": q_regexp_topk,
     }
 
 def oracle_sql() -> dict[str, str]:
