@@ -208,6 +208,29 @@ def compact_segments(
             # build_positions re-runs and rebuilds new_seg from the docs.
             man["positions_segments"] = sorted(pos_done - set(group))
 
+        # tombstones of compacted-away segments migrate to the new segment
+        # id (ADVICE r3 medium): every query path — segment kernels,
+        # positional kernels, MergedSearcher — resolves deletes by MANIFEST
+        # segment id, so tombstones left behind at deletes/seg=<old> would
+        # be orphaned by the manifest flip and the deleted docs would
+        # silently resurface while n_deleted still reports them. Doc ids
+        # are untouched by compaction, so the union of the group's
+        # tombstone sets (ranges disjoint → no dedup needed) is exactly the
+        # new segment's tombstone set. Written BEFORE the manifest commit:
+        # a reader that observes new_seg also observes its tombstones; a
+        # crash in between leaves an orphan deletes dir that vacuum removes.
+        del_root = os.path.join(paths.root, "deletes")
+        del_group = [
+            s for s in group if os.path.isdir(os.path.join(del_root, f"seg={s}"))
+        ]
+        if del_group:
+            moved = spark.read.parquet(
+                *[os.path.join(del_root, f"seg={s}") for s in del_group]
+            ).select("doc_id")
+            tio.overwrite_partition(
+                moved.sortWithinPartitions("doc_id"), del_root, "seg", new_seg
+            )
+
         metas = [man["segments"][str(s)] for s in group]
         entry = {
             "min_doc": min(int(m["min_doc"]) for m in metas),
@@ -230,6 +253,7 @@ def compact_segments(
             shutil.rmtree(os.path.join(paths.postings, f"seg={s}"), ignore_errors=True)
             shutil.rmtree(os.path.join(paths.docmap, f"seg={s}"), ignore_errors=True)
             shutil.rmtree(os.path.join(pos_root, f"seg={s}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(del_root, f"seg={s}"), ignore_errors=True)
         new_ids.append(new_seg)
     return new_ids
 
@@ -245,6 +269,9 @@ def vacuum_segments(paths: IndexPaths) -> list[str]:
         (paths.postings, live),
         (paths.docmap, live),
         (os.path.join(paths.root, "positions"), live_pos),
+        # crash leftovers between a compaction's manifest commit and its
+        # old-dir cleanup (tombstones were already migrated to the new id)
+        (os.path.join(paths.root, "deletes"), live),
     ):
         if not os.path.isdir(root):
             continue
@@ -253,11 +280,18 @@ def vacuum_segments(paths: IndexPaths) -> list[str]:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 removed.append(d)
     # stale dictionary versions (crash leftovers / superseded snapshots):
-    # everything but the manifest's pointer goes
+    # everything but the manifest's pointer AND the immediately preceding
+    # version goes. The pointer-1 retention protects readers opened before
+    # a pointer flip (ADVICE r3): SegmentSearcher resolves its dictionary
+    # version at construction, so vacuuming it out from under an open
+    # handle after a stream batch/purge would FileNotFound its next
+    # dictionary action. One version of slack covers one flip; callers
+    # that hold handles across multiple flips must reopen.
     dv = man.get("dictionary_version")
     if dv is not None and os.path.isdir(paths.dictionary):
+        keep_v = {f"v={int(dv)}", f"v={int(dv) - 1}"}
         for d in os.listdir(paths.dictionary):
-            if d.startswith("v=") and d != f"v={int(dv)}":
+            if d.startswith("v=") and d not in keep_v:
                 shutil.rmtree(os.path.join(paths.dictionary, d), ignore_errors=True)
                 removed.append(os.path.join("dictionary", d))
     return removed

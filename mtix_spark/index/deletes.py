@@ -89,7 +89,19 @@ def delete_docs(
     transit the driver: segment assignment is a broadcast range join against
     the manifest, the merge with existing tombstones is a DataFrame union +
     distinct, and the only things collected are one count row per touched
-    segment (bounded by the segment count, not the id count)."""
+    segment (bounded by the segment count, not the id count).
+
+    Crash semantics (replay-to-heal): the per-segment dir swaps below are
+    individually atomic (rename) but NOT atomic as a set — a crash mid-loop
+    leaves some segments with the merged tombstones and others with the old
+    ones, and the manifest still at the old delete_epoch (the epoch bump +
+    manifest commit is the last step, so n_deleted never overstates what is
+    fully on disk). Tombstones only ever ADD docs, so the mixed state is a
+    sound intermediate (some deletes visible early, none lost), and REPLAYING
+    the same delete_docs call heals it exactly: the merge is a union, the
+    staging recomputes every touched segment, and the swaps are idempotent.
+    Callers that need all-or-nothing visibility should route deletes through
+    the Iceberg seam (table_io), where the snapshot commit is the gate."""
     import shutil
 
     man = read_manifest(paths)

@@ -22,6 +22,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    suppress_window_warn: bool = True,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -55,13 +56,18 @@ def get_spark(
     # most k rows, so "moving all data to a single partition" never
     # happens). The warning fires at plan time regardless (even a literal
     # partition key folds away), so the honest fix is the logger, not the
-    # plan.
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # non-log4j2 deployments just keep the warning
+    # plan. TRADE-OFF (ADVICE r3): the logger level is session-global, so
+    # user-authored queries with GENUINE unpartitioned windows in the same
+    # session lose the warning too. Set MTIX_KEEP_WINDOW_WARN=1 (or pass
+    # suppress_window_warn=False) when running mixed workloads where that
+    # warning matters.
+    if suppress_window_warn and not os.environ.get("MTIX_KEEP_WINDOW_WARN"):
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.sql.execution.window.WindowExec",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+        except Exception:
+            pass  # non-log4j2 deployments just keep the warning
     return spark

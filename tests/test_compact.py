@@ -177,3 +177,115 @@ def test_partial_positions_group_drops_coverage(spark, tmp_path):
         for r in phrase_topk(spark, paths, phrases, k=10_000).collect()
     )
     assert after == before
+
+
+def test_delete_then_compact_tombstones_migrate(spark, tmp_path):
+    """ADVICE r3 (medium): compaction must MIGRATE the compacted-away
+    segments' tombstones to the new segment id. Every query path — segment
+    kernels, positional kernels, MergedSearcher — resolves deletes by
+    MANIFEST segment id, so tombstones left at deletes/seg=<old> would be
+    orphaned by the manifest flip and deleted docs would silently resurface
+    (while n_deleted still reported them)."""
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.deletes import delete_docs, purge_deletes
+    from mtix_spark.index.search import MergedSearcher
+
+    docs = assign_doc_ids(synth_corpus(spark, 600), 8)
+    paths = build_index(spark, docs, str(tmp_path / "dcidx"), n_segments=4)
+    build_positions(spark, docs, paths)
+    merge_postings(spark, paths, hot_df=50)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 12).collect()]
+
+    base = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search(queries, k=30)
+        .collect()
+    )
+    victims = sorted({d for _, r, d, _ in base if r == 1})
+    assert delete_docs(spark, paths, victims) == len(victims)
+    pre = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search(queries, k=30)
+        .collect()
+    )
+
+    new_ids = compact_segments(spark, paths, small_docs=5_000)
+    assert len(new_ids) == 1  # 4 adjacent small segments → one group
+    man = read_manifest(paths)
+    assert set(int(s) for s in man["segments"]) == set(new_ids)
+    assert int(man["n_deleted"]) == len(victims)  # still live deletes
+
+    # tombstone dirs moved wholesale: only the new segment's dir remains
+    del_root = os.path.join(paths.root, "deletes")
+    assert {d for d in os.listdir(del_root) if d.startswith("seg=")} == {
+        f"seg={new_ids[0]}"
+    }
+
+    vset = set(victims)
+    # segment path: results identical to the post-delete pre-compact probe
+    post = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in SegmentSearcher(spark, paths, persist=False)
+        .search(queries, k=30)
+        .collect()
+    )
+    assert post == pre
+    # merged path — the exact resurface scenario from the advice
+    mres = MergedSearcher(spark, paths).search(queries, k=30)
+    assert not mres["doc_id"].isin(victims).any()
+    # positional path
+    import re
+
+    c = docs.filter(~F.col("doc_id").isin(victims)).select("content").first()[
+        "content"
+    ]
+    toks = [t for t in re.split(r"[^a-z0-9_]+", c.lower()) if t]
+    ph = phrase_topk(spark, paths, [(1, " ".join(toks[:2]))], k=10_000).collect()
+    assert not any(r["doc_id"] in vset for r in ph)
+
+    # purge still finds the migrated tombstones (deletes/seg=<new> is in
+    # the manifest) and clears them
+    assert purge_deletes(spark, paths) == new_ids
+    assert int(read_manifest(paths)["n_deleted"]) == 0
+
+
+def test_vacuum_keeps_previous_dictionary_for_open_readers(spark, tmp_path):
+    """ADVICE r3: a SegmentSearcher resolves its dictionary version at
+    construction; a STREAM-BATCH pointer flip (which only adds segments —
+    old postings files stay put) followed by vacuum must not FileNotFound
+    the open handle's next dictionary action. Vacuum therefore retains
+    pointer-1 alongside the pointer. (A purge rewrites old segment files
+    physically, so handles cannot survive it in the parquet rendition —
+    that is the documented reopen case, not this one.)"""
+    from mtix_spark.index.build import (
+        _commit_manifest,
+        dictionary_dir,
+        write_dictionary_version,
+    )
+
+    docs = assign_doc_ids(synth_corpus(spark, 300), 4)
+    paths = build_index(spark, docs, str(tmp_path / "vdidx"), n_segments=2)
+    man0 = read_manifest(paths)
+    v0 = int(man0["dictionary_version"])
+
+    handle = SegmentSearcher(spark, paths, persist=False)  # resolves v0
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 5).collect()]
+
+    # flip the pointer the way a streaming batch does: new version dir
+    # written first, manifest committed after (no old files rewritten)
+    from mtix_spark.index.build import read_dictionary
+
+    write_dictionary_version(read_dictionary(spark, paths), paths, man0)
+    _commit_manifest(paths, man0)
+    v1 = int(read_manifest(paths)["dictionary_version"])
+    assert v1 == v0 + 1
+
+    vacuum_segments(paths)
+    assert os.path.isdir(dictionary_dir(paths, v1))
+    assert os.path.isdir(dictionary_dir(paths, v0))  # pointer-1 retained
+
+    # the stale handle's dictionary actions still work (snapshot semantics)
+    assert handle.dictionary.count() > 0
+    assert handle.search(queries, k=5).count() >= 0

@@ -767,11 +767,17 @@ def test_stream_dictionary_incremental_merge_versions(spark, tmp_path):
     got = sorted(map(tuple, read_dictionary(spark, paths).collect()))
     assert got == expected
 
-    # vacuum clears superseded versions, keeps the pointer
+    # vacuum clears superseded versions, keeps the pointer AND pointer-1
+    # (one flip of slack for readers opened before the flip — ADVICE r3)
+    pre = {d for d in os.listdir(paths.dictionary) if d.startswith("v=")}
     removed = vacuum_segments(paths)
-    assert any(r.startswith("dictionary/") for r in removed)
     left = {d for d in os.listdir(paths.dictionary) if d.startswith("v=")}
-    assert left == {f"v={v2}"}
+    keep = {f"v={v2}", f"v={v2 - 1}"}
+    assert f"v={v2}" in left
+    assert left == pre & keep
+    assert {
+        os.path.basename(r) for r in removed if r.startswith("dictionary/")
+    } == pre - keep
     assert sorted(map(tuple, read_dictionary(spark, paths).collect())) == expected
 
 
