@@ -38,6 +38,75 @@ from mtix_spark.index.codec import decode_varint, delta_decode
 
 SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
 
+
+class _LRUCache:
+    """Bounded LRU mapping for SERVING-HANDLE caches (VERDICT r3: a
+    long-lived query node seeing an adversarial term stream must not
+    accumulate every term/dl-block ever queried). Dict-compatible at the
+    call sites (`in`, `[k]`, `.get`, `[k]=v`); reads touch recency.
+    Eviction is explicit via `evict(pinned)` so a call's working set is
+    never dropped mid-call — if the working set alone exceeds the budget,
+    the cache runs over budget for that call and shrinks on the next.
+    Budgets: `max_entries` (count) and/or `max_bytes` via `sizeof`;
+    None = unbounded (the r2 behavior)."""
+
+    def __init__(self, max_entries=None, max_bytes=None, sizeof=None):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict" = OrderedDict()
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self._sizeof = sizeof or (lambda v: 0)
+        self.bytes = 0
+
+    def __contains__(self, k) -> bool:
+        return k in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __getitem__(self, k):
+        v = self._d[k]
+        self._d.move_to_end(k)
+        return v
+
+    def get(self, k, default=None):
+        if k not in self._d:
+            return default
+        return self[k]
+
+    def __setitem__(self, k, v) -> None:
+        if k in self._d:
+            self.bytes -= self._sizeof(self._d[k])
+        self._d[k] = v
+        self._d.move_to_end(k)
+        self.bytes += self._sizeof(v)
+
+    def _over(self) -> bool:
+        if self.max_entries is not None and len(self._d) > self.max_entries:
+            return True
+        return self.max_bytes is not None and self.bytes > self.max_bytes
+
+    def evict(self, pinned=()) -> int:
+        """Drop least-recently-used unpinned entries until within budget.
+        Returns the number evicted (callers that treat misses specially —
+        e.g. preloaded dictionaries where a miss means OOV — must downgrade
+        that assumption when this is non-zero)."""
+        if not self._over():
+            return 0
+        pinned = set(pinned)
+        n = 0
+        while self._over():
+            victim = next((k for k in self._d if k not in pinned), None)
+            if victim is None:  # whole cache is this call's working set
+                break
+            self.bytes -= self._sizeof(self._d.pop(victim))
+            n += 1
+        return n
+
 # executor-local doclens cache: seg -> np.float64[dl]. Loaded straight from
 # the index's doclens/seg=K parquet by the query kernel — the doclens
 # relation is NEVER shuffled at query time (it used to ride a cogroup,
@@ -578,7 +647,13 @@ class SegmentSearcher:
     read once — reopen a new handle to observe later deletes/compactions.
     """
 
-    def __init__(self, spark: SparkSession, paths: IndexPaths, persist: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: IndexPaths,
+        persist: bool = True,
+        df_cache_entries: int | None = 5_000_000,
+    ):
         import os
 
         from mtix_spark.index.build import read_manifest
@@ -637,9 +712,18 @@ class SegmentSearcher:
             self.dictionary = self.dictionary.persist()
         # term -> df cache (misses included as 0): repeat queries skip the
         # dictionary job entirely — at 10^12 docs this holds only the terms
-        # this searcher has seen, never the vocabulary
-        self._df_cache: dict[str, int] = {}
+        # this searcher has seen, never the vocabulary, and an LRU cap
+        # (df_cache_entries; None = unbounded) bounds even an adversarial
+        # distinct-term stream on a long-lived serving node
+        self._df_cache = _LRUCache(max_entries=df_cache_entries)
         self._df_preloaded = False
+
+    def _df_evict(self, pinned) -> None:
+        """Post-fill cache trim. A preloaded dictionary treats misses as
+        true OOV (df=0 without a lookup); once anything preloaded has been
+        evicted that shortcut is unsound, so downgrade to lazy lookups."""
+        if self._df_cache.evict(pinned) and self._df_preloaded:
+            self._df_preloaded = False
 
     def preload_dictionary(self, max_terms: int = 5_000_000) -> int:
         """Pull the whole (term, df) dictionary into the driver cache — the
@@ -653,6 +737,13 @@ class SegmentSearcher:
             raise ValueError(
                 f"dictionary has {n} terms > max_terms={max_terms}; "
                 "serve with the lazy per-term cache instead"
+            )
+        cap = self._df_cache.max_entries
+        if cap is not None and n > cap:
+            raise ValueError(
+                f"dictionary has {n} terms > df_cache_entries={cap}; "
+                "raise the cap (or pass None) to preload, or serve with "
+                "the lazy per-term cache"
             )
         for r in self.dictionary.select("term", "df").collect():
             self._df_cache[r["term"]] = r["df"]
@@ -691,6 +782,7 @@ class SegmentSearcher:
             if not self._df_preloaded:  # after preload, misses are true OOV
                 for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
                     self._df_cache[r["term"]] = r["df"]
+            self._df_evict(pinned=all_terms)
         tw = term_weights or {}
         idf = {
             t: tw.get(t, 1.0) * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -768,6 +860,7 @@ class SegmentSearcher:
             if not self._df_preloaded:  # after preload, misses are true OOV
                 for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
                     self._df_cache[r["term"]] = r["df"]
+            self._df_evict(pinned=all_terms)
         n_docs, avgdl = self.n_docs, self.avgdl
         idf = {
             t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -842,6 +935,7 @@ class SegmentSearcher:
             if not self._df_preloaded:  # after preload, misses are true OOV
                 for r in self.dictionary.filter(F.col("term").isin(missing)).collect():
                     self._df_cache[r["term"]] = r["df"]
+            self._df_evict(pinned=all_terms)
         idf = {
             t: math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
             for t in all_terms
@@ -975,7 +1069,12 @@ class MergedSearcher:
     DL_BLOCK_DEFAULT = 1 << 18  # docs per lazily-loaded dl block
 
     def __init__(
-        self, spark: SparkSession, paths: IndexPaths, dl_block: int | None = None
+        self,
+        spark: SparkSession,
+        paths: IndexPaths,
+        dl_block: int | None = None,
+        term_cache_bytes: int | None = 512 << 20,
+        dl_cache_bytes: int | None = 512 << 20,
     ):
         import os
 
@@ -985,9 +1084,19 @@ class MergedSearcher:
             stats = json.load(f)
         self.n_docs, self.avgdl = stats["n_docs"], stats["avgdl"]
         self.merged_dir = os.path.join(paths.root, "merged")
-        self._terms: dict[str, tuple | None] = {}
+        # posting + dl caches are LRU-capped by BYTE budget (None =
+        # unbounded): a long-lived serving node streaming distinct terms
+        # holds at most term_cache_bytes of postings and dl_cache_bytes of
+        # doc-length blocks, evicting cold entries, never the current
+        # call's working set
+        self._terms = _LRUCache(
+            max_bytes=term_cache_bytes,
+            sizeof=lambda v: 0 if v is None else v[0].nbytes + v[1].nbytes,
+        )
         self.dl_block = int(dl_block or self.DL_BLOCK_DEFAULT)
-        self._dl_blocks: dict[int, np.ndarray] = {}
+        self._dl_blocks = _LRUCache(
+            max_bytes=dl_cache_bytes, sizeof=lambda a: a.nbytes
+        )
         from mtix_spark.index.build import read_manifest
 
         man = read_manifest(paths)
@@ -1066,6 +1175,7 @@ class MergedSearcher:
                 self._dl_blocks[bi] = self._load_dl_block(bi)
             m = ids // self.dl_block == b
             out[m] = self._dl_blocks[bi][ids[m] - bi * self.dl_block]
+        self._dl_blocks.evict(pinned=(int(b) for b in blocks))
         return out
 
     def _fetch(self, terms: list[str]) -> None:
@@ -1095,6 +1205,7 @@ class MergedSearcher:
             # df stays the BUILD-time document frequency until a purge
             # (Lucene deletes semantics — scores use stale stats)
             self._terms[r["term"]] = (ids, tfs, int(r["df"]))
+        self._terms.evict(pinned=terms)
 
     def search(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
         import re

@@ -484,3 +484,98 @@ def test_segment_kernel_boundary_ties_deterministic(spark, tmp_path):
     got = bm25_topk_segments(spark, paths, [(1, "tied")], k=10).collect()
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(10))
     assert len({r["score"] for r in got}) == 1
+
+
+def test_serving_caches_lru_capped(spark, tmp_path):
+    """VERDICT r3 #3: long-lived serving handles must bound their caches.
+    Stream more distinct terms through a capped MergedSearcher /
+    SegmentSearcher than the budget holds: peak cache size stays within
+    budget after every call, entries actually evict, and every result
+    stays rank-identical to an uncapped handle."""
+    from mtix_spark.corpus import synth_corpus, synth_queries
+    from mtix_spark.index.build import assign_doc_ids, build_index, merge_postings
+    from mtix_spark.index.search import MergedSearcher, SegmentSearcher
+
+    docs = assign_doc_ids(synth_corpus(spark, 400), 4)
+    paths = build_index(spark, docs, str(tmp_path / "cidx"), n_segments=4)
+    merge_postings(spark, paths, hot_df=50, n_salt=4)
+
+    # distinct single-term queries drawn from the real vocabulary
+    from mtix_spark.index.build import read_dictionary
+
+    vocab = [
+        r["term"]
+        for r in read_dictionary(spark, paths).orderBy("term").limit(40).collect()
+    ]
+    qs = [(i, t) for i, t in enumerate(vocab)]
+
+    # merged path: tiny byte budgets force continuous eviction
+    free = MergedSearcher(spark, paths, dl_block=64)
+    capped = MergedSearcher(
+        spark, paths, dl_block=64, term_cache_bytes=2_000, dl_cache_bytes=1_536
+    )
+    import numpy as np
+
+    for q in qs:
+        want = free.search([q], k=10)
+        got = capped.search([q], k=10)
+        assert want.values.tolist() == got.values.tolist(), q
+        # invariant: within budget after every call, except that a single
+        # call's pinned working set may alone exceed it (never dropped
+        # mid-call); then the cache holds exactly that working set
+        entry = free._terms.get(q[1])
+        t_ws = 0 if entry is None else entry[0].nbytes + entry[1].nbytes
+        d_ws = (
+            0
+            if entry is None
+            else len(np.unique(entry[0] // free.dl_block)) * 64 * 8
+        )
+        assert capped._terms.bytes <= max(2_000, t_ws)
+        assert capped._dl_blocks.bytes <= max(1_536, d_ws)
+    assert len(capped._terms) < len(free._terms)  # evictions happened
+    assert len(capped._dl_blocks) < len(free._dl_blocks)
+    # warm re-query of an evicted term refetches and still matches
+    assert capped.search([qs[0]], k=10).values.tolist() == free.search(
+        [qs[0]], k=10
+    ).values.tolist()
+
+    # segment path: df-cache entry cap
+    s_free = SegmentSearcher(spark, paths, persist=False)
+    s_cap = SegmentSearcher(spark, paths, persist=False, df_cache_entries=8)
+    for q in qs[:20]:
+        a = sorted(map(tuple, s_free.search([q], k=10).collect()))
+        b = sorted(map(tuple, s_cap.search([q], k=10).collect()))
+        assert a == b, q
+        assert len(s_cap._df_cache) <= 8
+    assert len(s_free._df_cache) > 8
+
+
+def test_preload_dictionary_cap_interactions(spark, small_index):
+    """preload refuses a dictionary larger than the df-cache cap; after a
+    legal preload, evictions caused by OOV-term storms downgrade the
+    'miss = OOV' shortcut so real terms still resolve correctly."""
+    from mtix_spark.index.search import SegmentSearcher
+
+    probe = SegmentSearcher(spark, small_index, persist=False)
+    n_vocab = probe.dictionary.count()
+
+    tiny = SegmentSearcher(spark, small_index, persist=False, df_cache_entries=5)
+    with pytest.raises(ValueError, match="df_cache_entries"):
+        tiny.preload_dictionary()
+
+    s = SegmentSearcher(
+        spark, small_index, persist=False, df_cache_entries=int(n_vocab)
+    )
+    assert s.preload_dictionary() == n_vocab
+    assert s._df_preloaded
+    # OOV storm (one batched call): each miss inserts a 0-entry, pushing
+    # preloaded real terms out past the cap
+    oov = [(i, f"zz_oov_term_{i}") for i in range(int(n_vocab) // 2 + 2)]
+    assert s.search(oov, k=5).count() == 0
+    assert not s._df_preloaded  # shortcut downgraded on first eviction
+    # a real (possibly evicted) term must still resolve via lazy lookup
+    real = [r["term"] for r in probe.dictionary.orderBy("term").limit(5).collect()]
+    for i, t in enumerate(real):
+        a = sorted(map(tuple, probe.search([(i, t)], k=10).collect()))
+        b = sorted(map(tuple, s.search([(i, t)], k=10).collect()))
+        assert a == b, t
