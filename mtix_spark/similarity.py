@@ -272,6 +272,8 @@ def ivf_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows: int | None = 200_000,
+    salt: str = "ivf",
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: spherical k-means with deterministic
     init (the vectors of the n_centroids smallest ids — no RNG, so reruns
@@ -279,9 +281,27 @@ def ivf_fit(
     iteration centroid sums are rounded to 9 dp to absorb shuffle-order
     ULP noise). Each Lloyd iteration is one assignment pass (Arrow matmul
     kernel) + one (cluster, dim) mean aggregation — rows never collect;
-    only the C × D centroid matrix does."""
+    only the C × D centroid matrix does.
+
+    At 10¹² rows k-means must not scan the full table per Lloyd iteration:
+    when the table exceeds `train_rows`, training runs over a deterministic
+    ~train_rows-row subset picked by content-stable hash on `id_col`
+    (sampling.hash_bucket — partitioning-independent, pushed into the
+    scan), full scan at or below it. Same table + same salt → same sample
+    → same centroids, on any cluster size. `train_rows=None` forces
+    full-table training. Queries/assignment always cover the FULL table;
+    only quantizer training samples."""
+    train = embeddings
+    if train_rows is not None:
+        n_total = embeddings.count()
+        if n_total > train_rows:
+            from mtix_spark.sampling import hash_sample
+
+            train = hash_sample(
+                embeddings, train_rows / n_total, id_col, salt=salt
+            )
     init = (
-        embeddings.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(n_centroids)
         .select(vec_col)
         .collect()
@@ -290,7 +310,7 @@ def ivf_fit(
     for _ in range(iters):
         assign = _ivf_assign_udf(C)
         sums = (
-            embeddings.select(assign(F.col(vec_col)).alias("cl"), vec_col)
+            train.select(assign(F.col(vec_col)).alias("cl"), vec_col)
             .select("cl", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cl", "pos")
             .agg(
@@ -322,6 +342,7 @@ def knn_cosine_ivf(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows: int | None = 200_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: k-means centroids partition the
     corpus into inverted lists; each query probes its `nprobe` nearest
@@ -332,9 +353,10 @@ def knn_cosine_ivf(
     cosine@6dp, tie-break cosine DESC / vec_id ASC), scores exact on the
     candidate set, recall data-dependent (asserted vs brute in tests).
     Candidate generation is a broadcast equi-join on the cluster id —
-    shuffle bounded by probed-list sizes, never O(n²). At 10¹² rows the
-    quantizer trains on a sample and lists shard by (cluster, range)."""
-    C = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col)
+    shuffle bounded by probed-list sizes, never O(n²). Past `train_rows`
+    rows the quantizer trains on a deterministic hash sample (ivf_fit);
+    at 10¹² rows lists additionally shard by (cluster, range)."""
+    C = ivf_fit(embeddings, n_centroids, iters, id_col, vec_col, train_rows)
     assign = _ivf_assign_udf(C)
     assigned = embeddings.select(
         id_col, vec_col, assign(F.col(vec_col)).alias("cl")

@@ -1063,3 +1063,45 @@ def test_parse_image_dims_fuzz_never_crashes():
     for n in (0, 1, 2, 3, 16, 64):  # pure noise
         out = parse_image_dims(bytes(rng.integers(0, 256, size=n, dtype=np.uint8)))
         assert out is None or len(out) == 3
+
+
+def test_ivf_sampled_training_deterministic_and_accurate(spark):
+    """Sampled quantizer training (VERDICT r3 #5, now code not docstring):
+    above train_rows the quantizer trains on a deterministic hash sample —
+    same table → same centroids on reruns AND across partitionings; a
+    full-probe search over the sampled-quantizer index still equals brute
+    (assignment covers the full table; only training samples)."""
+    import numpy as np
+
+    from mtix_spark.similarity import ivf_fit, knn_cosine_brute, knn_cosine_ivf
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 32))
+    rows = [
+        (i, [float(x) for x in centers[i % 6] + 0.2 * rng.standard_normal(32)])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    C1 = ivf_fit(emb, n_centroids=6, train_rows=200)
+    C2 = ivf_fit(emb, n_centroids=6, train_rows=200)
+    assert np.array_equal(C1, C2)  # rerun-deterministic
+    C3 = ivf_fit(emb.repartition(7), n_centroids=6, train_rows=200)
+    assert np.allclose(C1, C3, atol=1e-6)  # partitioning-independent sample
+    # the sample is real: a different salt trains on different rows
+    C4 = ivf_fit(emb, n_centroids=6, train_rows=200, salt="other")
+    assert not np.array_equal(C1, C4)
+
+    ids = [0, 1, 2]
+    brute = sorted(
+        map(tuple, knn_cosine_brute(emb, ids, k=5).collect())
+    )
+    full_probe = sorted(
+        map(
+            tuple,
+            knn_cosine_ivf(
+                emb, ids, k=5, n_centroids=6, nprobe=6, train_rows=200
+            ).collect(),
+        )
+    )
+    assert full_probe == brute
