@@ -1780,6 +1780,37 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(planted).alias("clean_text"))
 
 
+def q_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking (split_long_docs, the remedy for the 2^22
+    packed-position bound) at max_tokens=32 over `documents`: per source
+    doc, the number of ordered chunks produced and the total token count —
+    the oracle checks the invariants n_chunks = max(1, ceil(n_tokens/32))
+    and token conservation across chunks."""
+    from mtix_spark.functions.text import tokenize
+    from mtix_spark.index.build import split_long_docs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    chunks = split_long_docs(corpus, max_tokens=32)
+    return (
+        chunks.select(
+            F.split(F.col("path"), "#c").getItem(0).cast("long").alias("doc_id"),
+            F.size(tokenize("content")).alias("toks"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elasticsearch date_histogram facet: per-day × event_type doc counts
     and value sums over `events` — map-side partial agg, one shuffle."""
@@ -2945,6 +2976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "gopher_repetition": q_gopher_repetition,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        # round-4 addition — past the gate window (verified locally via
+        # tools/check_oracles.py; rotates into the window in r05)
+        "split_docs": q_split_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3387,4 +3421,10 @@ SELECT doc_id,
     '\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b', '<PHONE>', 'g') AS clean_text
 FROM documents
 """,
+        "split_docs": """
+SELECT doc_id,
+  greatest(1, CAST(ceil(len({TOKS})/32.0) AS BIGINT)) AS n_chunks,
+  len({TOKS})::BIGINT AS n_tokens
+FROM documents
+""".replace("{TOKS}", toks),
     }

@@ -70,6 +70,69 @@ POSTINGS_SCHEMA = (
 )
 
 
+def split_long_docs(corpus: DataFrame, max_tokens: int = 1 << 22) -> DataFrame:
+    """Chunk pathologically long documents into ordered sub-docs of at most
+    `max_tokens` tokens each, upstream of `assign_doc_ids` (B1).
+
+    The positional index packs (doc_rank << 22 | pos), so a document with
+    a token position at or past 2^22 fails the build loudly
+    (positions.py). This is the remedy that guard points at: derived
+    identity (repo, path + '#cNNNNN', commit) sorts chunks in document
+    order, so B1 assigns them consecutive dense doc ids; every chunk then
+    stays within the packed position bound. Phrase/NEAR matches are
+    confined to chunks — a phrase spanning a split boundary is not
+    matchable (no overlap; the standard trade, and long-doc splits are at
+    token boundaries so no token is lost or altered: chunk contents
+    concatenate byte-exactly to the original).
+
+    Short documents (the overwhelming majority) pass through UNTOUCHED —
+    same bytes, same (repo, path, commit) — behind a length precheck that
+    avoids even tokenizing them: n tokens require ≥ 2n-1 characters, so
+    len(content) ≤ 2·max_tokens proves the doc fits. Long docs take one
+    regex pass (Arrow-batched mapInPandas, 1→N fan-out). Token boundaries
+    use the ASCII rendition of the tokenizer's class ([A-Za-z0-9_]+ on the
+    original bytes, which lowercases 1:1 for the source-code corpus); the
+    build-time guard still backstops any residual over-long chunk."""
+    import re as _re
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pat = _re.compile(r"[A-Za-z0-9_]+")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for r in pdf.itertuples(index=False):
+                c = r.content or ""
+                bounds = None
+                if len(c) > 2 * max_tokens:
+                    bounds = [0]
+                    cnt = 0
+                    for m in pat.finditer(c):
+                        if cnt == max_tokens:
+                            bounds.append(m.start())
+                            cnt = 0
+                        cnt += 1
+                if not bounds or len(bounds) == 1:
+                    for col in cols:
+                        out[col].append(getattr(r, col))
+                    continue
+                for i, b in enumerate(bounds):
+                    e = bounds[i + 1] if i + 1 < len(bounds) else len(c)
+                    out["repo"].append(r.repo)
+                    out["path"].append(f"{r.path}#c{i:05d}")
+                    out["commit"].append(r.commit)
+                    out["lang"].append(r.lang)
+                    out["content"].append(c[b:e])
+            yield pd.DataFrame(out)
+
+    return corpus.select(*cols).mapInPandas(
+        kernel,
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
 def assign_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
     """corpus(repo,path,commit,lang,content) -> docs with dense doc_id.
 

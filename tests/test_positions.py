@@ -314,3 +314,71 @@ def test_term_snippets_picks_densest_window(spark):
     r = rows[0]
     assert r["best_pos"] == 5 and r["n_in_window"] == 3
     assert r["snippet"] == "apple pear apple q"
+
+
+def test_split_long_docs_semantics(spark):
+    """split_long_docs: short docs pass through byte-identical; long docs
+    chunk at token boundaries into ordered sub-docs whose contents
+    concatenate byte-exactly to the original; chunk paths sort in document
+    order so B1 assigns consecutive ids."""
+    from mtix_spark.index.build import split_long_docs
+
+    rows = [
+        ("r", "big.py", "c", "python", "tok " * 120),
+        ("r", "small.py", "c", "python", "a b c"),
+        ("r", "empty.py", "c", "python", ""),
+        ("r", "punct.py", "c", "python", "!!! ??? ..." * 40),  # 0 tokens, long
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = split_long_docs(corpus, max_tokens=50).orderBy("path").collect()
+    big = [r for r in got if r.path.startswith("big.py#")]
+    assert [r.path for r in big] == ["big.py#c00000", "big.py#c00001", "big.py#c00002"]
+    assert [len(r.content.split()) for r in big] == [50, 50, 20]
+    assert "".join(r.content for r in big) == "tok " * 120
+    # untouched passthroughs, including token-free long content
+    rest = {r.path: r.content for r in got if "#" not in r.path}
+    assert rest == {
+        "small.py": "a b c",
+        "empty.py": "",
+        "punct.py": "!!! ??? ..." * 40,
+    }
+
+
+def test_split_long_docs_indexes_past_position_bound(spark, tmp_path):
+    """VERDICT r3 #6 end-to-end: a >2^22-token document fails build_positions
+    loudly unsplit (the existing guard), and indexes fine after
+    split_long_docs — with phrase occurrences conserved across the split."""
+    import shutil
+
+    from mtix_spark.index.build import (
+        assign_doc_ids,
+        build_index,
+        split_long_docs,
+    )
+    from mtix_spark.index.positions import build_positions, phrase_topk
+
+    n_pairs = 2_200_000  # 4.4M tokens > 2^22
+    rows = [
+        ("r", "huge.py", "c", "python", "a b " * n_pairs),
+        ("r", "n1.py", "c", "python", "alpha beta gamma"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+    # unsplit: the loud guard stays
+    docs_raw = assign_doc_ids(corpus, 2)
+    p_raw = build_index(spark, docs_raw, str(tmp_path / "rawidx"), n_segments=2)
+    with pytest.raises(Exception, match="2\\^22|4194304"):
+        build_positions(spark, docs_raw, p_raw)
+
+    # split: build succeeds, phrase matches within chunks, occurrences conserved
+    docs = assign_doc_ids(split_long_docs(corpus), 2)
+    assert docs.count() == 3  # huge.py -> 2 ordered chunks + n1.py
+    p = build_index(spark, docs, str(tmp_path / "splitidx"), n_segments=2)
+    build_positions(spark, docs, p)
+    ph = phrase_topk(spark, p, [(1, "a b")], k=10).collect()
+    assert sum(r["n_occ"] for r in ph) == n_pairs
+    assert len(ph) == 2  # both chunks match
