@@ -190,6 +190,55 @@ def main() -> None:
     single["compact_segments"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
 
+    # --- spark-submit deploy surface (VERDICT r3 #7): one timed smoke row
+    # per entrypoint, so the way the engine actually ships to a cluster is
+    # continuously proven, not just the in-process API. Tiny inputs — these
+    # rows time JVM+session startup plus a real (small) job each. Disable
+    # with MTIX_BENCH_SUBMIT=0 (e.g. when iterating locally).
+    if os.environ.get("MTIX_BENCH_SUBMIT", "1") != "0":
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        submit = shutil.which("spark-submit")
+        if submit:
+            swork = tempfile.mkdtemp(prefix="mtix_submit_")
+            synth_corpus(spark, 500).write.parquet(f"{swork}/corpus")
+            with open(f"{swork}/queries.json", "w") as f:
+                json.dump([[q, t] for q, t in qset[:10]], f)
+            env = dict(os.environ, PYTHONPATH=repo)
+            common = [submit, "--master", "local[8]", "--driver-memory", "8g"]
+
+            def run_submit(name: str, argv: list[str]) -> None:
+                t0 = time.time()
+                r = subprocess.run(
+                    common + argv, env=env, capture_output=True, text=True
+                )
+                if r.returncode != 0:
+                    sys.stderr.write(r.stderr[-2000:])
+                    raise RuntimeError(f"{name} failed rc={r.returncode}")
+                single[name] = round(time.time() - t0, 3)
+
+            run_submit(
+                "submit_build",
+                [f"{repo}/scripts/build_index_submit.py",
+                 "--input", f"{swork}/corpus", "--output", f"{swork}/idx",
+                 "--segments", "8"],
+            )
+            run_submit(
+                "submit_query",
+                [f"{repo}/scripts/query_submit.py",
+                 "--index", f"{swork}/idx",
+                 "--queries", f"{swork}/queries.json", "--k", "50"],
+            )
+            run_submit(
+                "submit_stream",
+                [f"{repo}/scripts/stream_ingest_submit.py",
+                 "--input", f"{swork}/corpus",
+                 "--index", f"{swork}/sidx",
+                 "--checkpoint", f"{swork}/ckpt"],
+            )
+            shutil.rmtree(swork, ignore_errors=True)
+
     timings = dict(single)
     spread: dict[str, float] = {}
     for name, xs in multi.items():
