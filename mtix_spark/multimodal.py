@@ -1,10 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the *decode kernels* are
-stubbed (deterministic fake behind `fake=True`, NotImplementedError
-otherwise) — but the Spark-side plumbing is real and tested: schemas,
-Arrow-batched mapInPandas signatures, partitioning, and batch shapes are
-exactly what a real decoder (PIL/torchaudio/ffmpeg) would slot into.
+The container has no image/audio libraries, so decode is implemented from
+the specs where that is tractable in pure stdlib+numpy — PNG pixels
+(decode_png: inflate + un-filter, all five filter types), PCM WAV samples
+(decode_wav: RIFF chunk walk), and PNG/JPEG/GIF header metadata
+(parse_image_dims) are REAL decoders, and extract_features(fake=False)
+returns real pixel/signal-derived features for those payloads. What
+genuinely needs PIL/torchaudio/ffmpeg (JPEG/GIF pixels, compressed audio,
+video frames) stays an honest NotImplementedError behind `fake=True`'s
+deterministic stand-in. Either way the Spark-side plumbing is real and
+tested: schemas, Arrow-batched mapInPandas signatures, partitioning, and
+batch shapes are exactly what a full decoder stack would slot into.
 
 Design for 100 TB of media:
 - binary payloads ride in their own column; metadata-only queries never read
@@ -78,10 +84,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """payload -> fixed-width feature vector, Arrow-batched mapInPandas.
 
     fake=True: deterministic sha-seeded vectors (schema/plumbing exercise).
-    fake=False: REAL pixel-derived features for PNG payloads via the
-    stdlib decoder below (decode_png — the exact inverse of encode_png).
-    Non-PNG payloads under fake=False raise NotImplementedError: JPEG/GIF
-    pixel decode and audio/video featurization genuinely need
+    fake=False: REAL decoded features via the stdlib decoders below — pixel
+    histograms/stats for PNG payloads (decode_png, the exact inverse of
+    encode_png) and spectral/signal stats for PCM WAV payloads (decode_wav).
+    Other payloads under fake=False raise NotImplementedError: JPEG/GIF
+    pixel decode, compressed audio, and video frames genuinely need
     PIL/torchaudio/ffmpeg, which this container lacks — honest stub, same
     Spark plumbing either way.
     """
@@ -99,10 +106,12 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     continue
                 got = _png_pixel_features(b)
                 if got is None:
+                    got = _wav_audio_features(b)
+                if got is None:
                     raise NotImplementedError(
-                        "real decode implemented for PNG only; JPEG/GIF/"
-                        "audio/video require PIL/torchaudio/ffmpeg — not "
-                        "in this container"
+                        "real decode implemented for PNG and PCM WAV only; "
+                        "JPEG/GIF/compressed-audio/video require "
+                        "PIL/torchaudio/ffmpeg — not in this container"
                     )
                 feats.append(got)
             yield pd.DataFrame(
@@ -253,6 +262,126 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, nch)
 
 
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal REAL WAV encoder (pure struct): 16-bit PCM RIFF/WAVE for an
+    (N,) mono or (N, C) multichannel int16 array. Valid per the RIFF spec;
+    lets the sandbox exercise real audio payloads without torchaudio."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.astype("<i2").tobytes()
+    block = n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal REAL WAV decoder (pure struct + numpy) — the inverse of
+    encode_wav, generalized to any RIFF/WAVE with integer PCM samples
+    (8-bit unsigned or 16-bit signed, any channel count, chunk walk with
+    even padding per the spec). Returns ((N, C) int16 array, sample_rate).
+    Raises ValueError on malformed bytes, NotImplementedError on
+    spec-valid-but-unsupported encodings (float, ADPCM, 24/32-bit)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE signature")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _byterate, _block, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError("bad fmt fields")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"unsupported WAV encoding: format={audio_format} bits={bits}"
+        )
+    if bits == 16:
+        n = len(data) // (2 * n_ch)
+        s = np.frombuffer(data, "<i2", count=n * n_ch).reshape(n, n_ch)
+        return s.astype(np.int16), int(rate)
+    n = len(data) // n_ch
+    u = np.frombuffer(data, np.uint8, count=n * n_ch).reshape(n, n_ch)
+    return ((u.astype(np.int16) - 128) << 8), int(rate)
+
+
+_FFT_CAP = 1 << 16  # bound the feature FFT (cost + determinism at any length)
+
+
+def _wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | None:
+    """REAL signal-derived features for a PCM WAV payload: 24 log-energy
+    bands of the power spectrum (geometrically split rFFT bins over the
+    first ≤65536 mono samples) + 8 scalars (rms, zero-crossing rate,
+    spectral centroid, 85% rolloff, log duration, rate/48k, channels,
+    crest factor) = 32 = FEATURE_DIM. Returns None when the payload is not
+    a decodable PCM WAV."""
+    try:
+        s, rate = decode_wav(payload)
+    except (ValueError, NotImplementedError):
+        return None
+    if s.shape[0] == 0:
+        return None
+    n_ch = s.shape[1]
+    mono = s.astype(np.float64).mean(axis=1) / 32768.0
+    duration = s.shape[0] / rate
+    clip = mono[:_FFT_CAP]
+    P = np.abs(np.fft.rfft(clip)) ** 2
+    if P.size > 1:
+        P = P[1:]  # drop DC
+    nb = 24
+    # geometric band edges over the bin range
+    edges = np.unique(
+        np.round(np.geomspace(1, P.size, nb + 1)).astype(int)
+    )
+    bands = np.zeros(nb)
+    for i in range(min(nb, edges.size - 1)):
+        bands[i] = P[edges[i] - 1 : edges[i + 1]].sum()
+    feats = np.empty(dim, dtype=np.float32)
+    feats[:nb] = np.log10(bands + 1e-12)
+    rms = float(np.sqrt(np.mean(clip**2)))
+    zcr = float(np.mean(np.signbit(clip[1:]) != np.signbit(clip[:-1])))
+    tot = P.sum()
+    freqs = np.arange(1, P.size + 1) / max(P.size, 1)
+    centroid = float((P * freqs).sum() / tot) if tot > 0 else 0.0
+    if tot > 0:
+        rolloff = float(freqs[np.searchsorted(np.cumsum(P), 0.85 * tot)])
+    else:
+        rolloff = 0.0
+    peak = float(np.abs(clip).max())
+    feats[24:] = [
+        rms,
+        zcr,
+        centroid,
+        rolloff,
+        float(np.log10(duration + 1e-6)),
+        rate / 48_000.0,
+        float(n_ch),
+        peak / rms if rms > 0 else 0.0,
+    ]
+    return feats
+
+
 def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
     """REAL image header parsing — PNG IHDR, JPEG SOF scan, GIF logical
     screen descriptor. Pure struct reads, no decoder library; returns
@@ -340,23 +469,34 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
 
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic media table for tests. Image payloads are REAL PNGs
-    (encode_png) whose pixel dims match the metadata columns; audio/video
-    payloads stay opaque deterministic bytes (decode for those is still
-    honestly stubbed)."""
+    (encode_png) whose pixel dims match the metadata columns; audio
+    payloads are REAL 16-bit PCM WAVs (encode_wav — seeded sine mixtures
+    whose sample count matches duration_ms); video payloads stay opaque
+    deterministic bytes (frame decode is still honestly stubbed)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
+        seed = int.from_bytes(
+            hashlib.blake2b(f"media:{i}".encode(), digest_size=8).digest(),
+            "little",
+        )
+        rng = np.random.default_rng(seed)
         if kind == "image":
             w = h = 64 + i % 8
-            seed = int.from_bytes(
-                hashlib.blake2b(f"media:{i}".encode(), digest_size=8).digest(),
-                "little",
-            )
-            px = np.random.default_rng(seed).integers(
-                0, 256, size=(h, w, 3), dtype=np.uint8
-            )
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_png(px)
+        elif kind == "audio":
+            w = h = None
+            rate, dur_s = 8000, (1 + i % 5)
+            t = np.arange(rate * dur_s) / rate
+            f0 = 100.0 + float(rng.integers(50, 800))
+            sig = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(
+                t.size
+            )
+            payload = encode_wav(
+                np.clip(sig * 20_000, -32_768, 32_767).astype(np.int16), rate
+            )
         else:
             w = h = None
             payload = hashlib.blake2b(

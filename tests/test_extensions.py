@@ -1105,3 +1105,93 @@ def test_ivf_sampled_training_deterministic_and_accurate(spark):
         )
     )
     assert full_probe == brute
+
+
+def test_wav_decode_roundtrip_and_fuzz():
+    """decode_wav inverts encode_wav (mono + stereo), handles 8-bit PCM and
+    odd-length chunk padding, rejects malformed bytes with ValueError and
+    non-PCM encodings with NotImplementedError; truncations/mutations never
+    crash with anything else."""
+    import struct
+
+    import numpy as np
+
+    from mtix_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    st = rng.integers(-32768, 32767, size=(4000, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(st, 16000))
+    assert rate == 16000 and np.array_equal(out, st)
+    mono = rng.integers(-32768, 32767, size=3000, dtype=np.int16)
+    out2, _ = decode_wav(encode_wav(mono, 8000))
+    assert out2.shape == (3000, 1) and np.array_equal(out2[:, 0], mono)
+
+    # 8-bit unsigned PCM with an ODD-length extra chunk (spec: pad to even)
+    u8 = rng.integers(0, 256, size=501, dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # odd chunk + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(u8)) + u8.tobytes()
+    )
+    pay = b"RIFF" + struct.pack("<I", len(body)) + body
+    s8, _ = decode_wav(pay)
+    assert np.array_equal(s8[:, 0], (u8.astype(np.int16) - 128) << 8)
+
+    # non-PCM (IEEE float) is honestly unsupported
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    b3 = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(b3)) + b3)
+
+    good = encode_wav(mono, 8000)
+    for cut in range(0, len(good), max(1, len(good) // 23)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_wav(good[:cut])
+    for _ in range(60):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_wav(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # any structured failure is fine; crashes are not
+
+
+def test_extract_features_real_audio(spark):
+    """fake=False returns REAL signal-derived features for the synth
+    corpus's WAV payloads: rms/duration/rate scalars match the encoded
+    signal, deterministic; video payloads still raise (honest stub)."""
+    import numpy as np
+
+    from mtix_spark.multimodal import (
+        _wav_audio_features,
+        decode_wav,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    aud = media.filter(F.col("kind") == "audio")
+    rows = extract_features(aud, fake=False).collect()
+    assert len(rows) == aud.count() > 0
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in aud.collect()}
+    durs = {r["media_id"]: r["duration_ms"] for r in aud.collect()}
+    for r in rows:
+        f = np.asarray(r["feature"], dtype=np.float32)
+        assert f.shape == (32,) and np.isfinite(f).all()
+        s, rate = decode_wav(payloads[r["media_id"]])
+        assert rate == 8000
+        # encoded sample count matches the metadata duration
+        assert s.shape[0] == rate * durs[r["media_id"]] // 1000
+        # rate scalar (index 29) and channel scalar (index 30)
+        assert abs(f[29] - 8000 / 48000) < 1e-6
+        assert f[30] == 1.0
+        want = np.asarray(_wav_audio_features(payloads[r["media_id"]]))
+        assert np.allclose(f, want, atol=1e-6)
+    with pytest.raises(Exception, match="NotImplemented|WAV only|PCM WAV"):
+        extract_features(media.filter(F.col("kind") == "video"), fake=False).collect()

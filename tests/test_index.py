@@ -579,3 +579,16 @@ def test_preload_dictionary_cap_interactions(spark, small_index):
         a = sorted(map(tuple, probe.search([(i, t)], k=10).collect()))
         b = sorted(map(tuple, s.search([(i, t)], k=10).collect()))
         assert a == b, t
+
+
+def test_preload_dictionary_exact_max_terms_boundary(spark, small_index):
+    """preload succeeds at n == max_terms exactly and refuses at
+    n == max_terms - 1 (VERDICT r3 hardening item)."""
+    from mtix_spark.index.search import SegmentSearcher
+
+    s = SegmentSearcher(spark, small_index, persist=False)
+    n = s.dictionary.count()
+    assert s.preload_dictionary(max_terms=int(n)) == n  # boundary: allowed
+    s2 = SegmentSearcher(spark, small_index, persist=False)
+    with pytest.raises(ValueError, match="max_terms"):
+        s2.preload_dictionary(max_terms=int(n) - 1)
