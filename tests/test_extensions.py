@@ -1028,9 +1028,10 @@ def test_extract_features_real_pixels(spark):
     assert {r["media_id"]: list(r["feature"]) for r in rows} == {
         r["media_id"]: list(r["feature"]) for r in again
     }
-    # non-PNG payloads under fake=False stay honestly unimplemented
-    with pytest.raises(Exception, match="NotImplemented|PNG only"):
-        extract_features(media.filter(F.col("kind") == "audio"), fake=False).collect()
+    # undecodable payloads under fake=False stay honestly unimplemented
+    # (audio is real WAV now — video remains the opaque stub)
+    with pytest.raises(Exception, match="NotImplemented|WAV only|PCM WAV"):
+        extract_features(media.filter(F.col("kind") == "video"), fake=False).collect()
 
 
 def test_parse_image_dims_fuzz_never_crashes():
