@@ -50,13 +50,16 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _png_pixel_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | None:
-    """REAL pixel-derived features for a PNG payload (decode_png below):
-    per-channel 8-bin intensity histogram (24) + per-channel mean and std
-    (6) + aspect ratio + mean luminance (2) = 32 = FEATURE_DIM. Returns
-    None when the payload is not a decodable PNG (caller decides whether
-    that is an error)."""
+    """REAL pixel-derived features for a PNG or GIF payload (decode_png /
+    decode_gif below): per-channel 8-bin intensity histogram (24) +
+    per-channel mean and std (6) + aspect ratio + mean luminance (2) = 32
+    = FEATURE_DIM. Returns None when the payload is not a decodable
+    PNG/GIF (caller decides whether that is an error)."""
     try:
-        px = decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            px = decode_gif(payload)
+        else:
+            px = decode_png(payload)
     except (ValueError, NotImplementedError):
         return None
     h, w, c = px.shape
@@ -260,6 +263,192 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
     return out.reshape(h, w, nch)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal REAL GIF87a encoder for an (H, W) uint8 index array over an
+    (N, 3) uint8 palette (N a power of two, 2..256). Emits uncompressed-
+    style LZW (literal codes with Clear resets before the table fills) —
+    spec-valid output any GIF decoder accepts; exists so decode_gif has a
+    library-free round-trip partner."""
+    h, w = indices.shape
+    n_pal = palette.shape[0]
+    depth = max(1, (n_pal - 1).bit_length())
+    if n_pal != 1 << depth:
+        raise ValueError("palette size must be a power of two")
+    min_code = max(2, depth)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # literal-only LZW stream: emit Clear every 2^min_code-2 literals so the
+    # code width never grows past min_code+1
+    out_bits: list[tuple[int, int]] = [(clear, min_code + 1)]
+    run = 0
+    for v in indices.reshape(-1):
+        out_bits.append((int(v), min_code + 1))
+        run += 1
+        if run >= (1 << min_code) - 2:
+            out_bits.append((clear, min_code + 1))
+            run = 0
+    out_bits.append((end, min_code + 1))
+    acc = bitpos = 0
+    data = bytearray()
+    for code, width in out_bits:
+        acc |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+    if bitpos:
+        data.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+
+    head = b"GIF87a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head += bytes([0x80 | (depth - 1)]) + b"\x00\x00"  # global palette flag
+    pal = palette.astype(np.uint8).tobytes()
+    img = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00" + bytes([min_code]) + bytes(blocks)
+    )
+    return head + pal + img + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Minimal REAL GIF decoder (pure Python + numpy): logical screen
+    descriptor, global/local color tables, extension-block skipping, full
+    variable-width LZW decompression (Clear/EOI, code widths up to 12
+    bits), and Interlace de-interlacing. Returns the FIRST frame as an
+    (H, W, 3) uint8 array over its palette. Raises ValueError on
+    malformed bytes."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-blocks")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                raise ValueError("truncated extension")
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02x}")
+        # image descriptor
+        if pos + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local palette")
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table")
+        if pos >= len(payload):
+            raise ValueError("missing LZW data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(payload):
+                raise ValueError("truncated image data")
+            data.extend(payload[pos : pos + ln])
+            pos += ln
+
+        # LZW decode (GIF variant)
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        table = list(base)
+        width = min_code + 1
+        acc = bits = di = 0
+        prev: bytes | None = None
+        out = bytearray()
+        npix = iw * ih
+        while True:
+            while bits < width:
+                if di >= len(data):
+                    raise ValueError("LZW stream ran out before EOI")
+                acc |= data[di] << bits
+                bits += 8
+                di += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= npix:
+                break
+        if len(out) < npix:
+            raise ValueError(f"LZW produced {len(out)} of {npix} pixels")
+        idx = np.frombuffer(bytes(out[:npix]), np.uint8).reshape(ih, iw)
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("pixel index outside color table")
+        if iflags & 0x40:  # interlaced: rows in 4 passes (8/8, 8/8+4, 4/+2, 2/+1)
+            de = np.empty_like(idx)
+            order = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            de[order] = idx
+            idx = de
+        return pal[idx]
+    raise ValueError("no image block before trailer")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -1196,3 +1196,122 @@ def test_extract_features_real_audio(spark):
         assert np.allclose(f, want, atol=1e-6)
     with pytest.raises(Exception, match="NotImplemented|WAV only|PCM WAV"):
         extract_features(media.filter(F.col("kind") == "video"), fake=False).collect()
+
+
+def test_gif_decode_roundtrip_compressed_and_interlaced():
+    """decode_gif handles (a) the repo encoder's literal LZW round-trip at
+    2/16/256-color depths, (b) a REAL compressing LZW stream written by an
+    in-test reference compressor — exercising table growth, code-width
+    bumps, and the cScSc (code == next table slot) case, (c) interlaced row
+    order, and (d) truncation/mutation fuzz failing only with ValueError."""
+    import numpy as np
+
+    from mtix_spark.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(47, 33), dtype=np.uint8)
+    gif = encode_gif(idx, pal)
+    assert np.array_equal(decode_gif(gif), pal[idx])
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx2 = rng.integers(0, 2, size=(9, 13), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx2, pal2)), pal2[idx2])
+    pal3 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx3 = rng.integers(0, 256, size=(21, 17), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx3, pal3)), pal3[idx3])
+
+    # (b) reference compressing LZW (greedy longest-match, growing widths)
+    def lzw_compress(seq: bytes, min_code: int) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code, width = end + 1, min_code + 1
+        codes = [(clear, width)]
+        cur = b""
+        for ch in seq:
+            nxt = cur + bytes([ch])
+            if nxt in table:
+                cur = nxt
+                continue
+            codes.append((table[cur], width))
+            if next_code < 4096:
+                table[nxt] = next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            cur = bytes([ch])
+        if cur:
+            codes.append((table[cur], width))
+        codes.append((end, width))
+        acc = bits = 0
+        out = bytearray()
+        for c, wd in codes:
+            acc |= c << bits
+            bits += wd
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # repetitive image → deep LZW table, includes cScSc runs
+    w, h = 40, 30
+    row = (list(range(4)) * (w // 4 + 1))[:w]
+    img = np.array([np.roll(row, y % 4) for y in range(h)], dtype=np.uint8)
+    data = lzw_compress(img.tobytes(), 2)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    head = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | 1]) + b"\x00\x00" + pal4.tobytes()
+        # a graphic-control extension block that must be skipped
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    )
+    body = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00" + bytes([2]) + bytes(blocks) + b"\x3b"
+    )
+    assert np.array_equal(decode_gif(head + body), pal4[img])
+
+    # (c) interlaced variant of the same frame
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    data_i = lzw_compress(img[order].tobytes(), 2)
+    blocks_i = bytearray()
+    for i in range(0, len(data_i), 255):
+        chunk = data_i[i : i + 255]
+        blocks_i.append(len(chunk))
+        blocks_i.extend(chunk)
+    blocks_i.append(0)
+    body_i = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40]) + bytes([2]) + bytes(blocks_i) + b"\x3b"
+    )
+    assert np.array_equal(decode_gif(head + body_i), pal4[img])
+
+    # (d) fuzz: structured failures only
+    for cut in range(0, len(gif), max(1, len(gif) // 29)):
+        try:
+            decode_gif(gif[:cut])
+        except ValueError:
+            pass
+    for _ in range(80):
+        b = bytearray(gif)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
