@@ -589,6 +589,8 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
             # consume 0xFF fill bytes (legal padding before any marker)
             while i + 1 < len(payload) and payload[i + 1] == 0xFF:
                 i += 1
+            if i + 1 >= len(payload):  # fill bytes ran to the buffer tail
+                break
             marker = payload[i + 1]
             if marker == 0x00:  # stuffed data byte, not a marker
                 i += 2
