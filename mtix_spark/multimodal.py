@@ -1,16 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so decode is implemented from
-the specs where that is tractable in pure stdlib+numpy — PNG pixels
-(decode_png: inflate + un-filter, all five filter types), PCM WAV samples
-(decode_wav: RIFF chunk walk), and PNG/JPEG/GIF header metadata
-(parse_image_dims) are REAL decoders, and extract_features(fake=False)
-returns real pixel/signal-derived features for those payloads. What
-genuinely needs PIL/torchaudio/ffmpeg (JPEG/GIF pixels, compressed audio,
-video frames) stays an honest NotImplementedError behind `fake=True`'s
-deterministic stand-in. Either way the Spark-side plumbing is real and
-tested: schemas, Arrow-batched mapInPandas signatures, partitioning, and
-batch shapes are exactly what a full decoder stack would slot into.
+The container has no image/audio/video libraries, so decode is implemented
+from the specs where that is tractable in pure stdlib+numpy — PNG pixels
+(decode_png: inflate + un-filter, all five filter types), GIF frames
+(decode_gif: variable-width LZW + interlace), PCM WAV samples (decode_wav:
+RIFF chunk walk), uncompressed-AVI video frames (decode_avi: RIFF chunk
+walk + DIB rows), and PNG/JPEG/GIF header metadata (parse_image_dims) are
+REAL decoders; extract_features(fake=False) and sample_frames(fake=False)
+return real pixel/signal/frame-derived output for those payloads. What
+genuinely needs PIL/torchaudio/ffmpeg (JPEG pixels, compressed audio,
+compressed video codecs) stays an honest NotImplementedError behind
+`fake=True`'s deterministic stand-in. Either way the Spark-side plumbing is
+real and tested: schemas, Arrow-batched mapInPandas signatures,
+partitioning, and batch shapes are exactly what a full decoder stack would
+slot into.
 
 Design for 100 TB of media:
 - binary payloads ride in their own column; metadata-only queries never read
@@ -62,6 +65,12 @@ def _png_pixel_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | 
             px = decode_png(payload)
     except (ValueError, NotImplementedError):
         return None
+    return _pixel_summary(px, dim)
+
+
+def _pixel_summary(px: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """32-dim summary of one decoded (H, W, C) uint8 frame — shared by the
+    PNG/GIF image path and the per-frame AVI video path."""
     h, w, c = px.shape
     if c == 1:  # greyscale → replicate; drop alpha if present
         rgb = np.repeat(px, 3, axis=2)
@@ -88,12 +97,12 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     fake=True: deterministic sha-seeded vectors (schema/plumbing exercise).
     fake=False: REAL decoded features via the stdlib decoders below — pixel
-    histograms/stats for PNG payloads (decode_png, the exact inverse of
-    encode_png) and spectral/signal stats for PCM WAV payloads (decode_wav).
-    Other payloads under fake=False raise NotImplementedError: JPEG/GIF
-    pixel decode, compressed audio, and video frames genuinely need
-    PIL/torchaudio/ffmpeg, which this container lacks — honest stub, same
-    Spark plumbing either way.
+    histograms/stats for PNG/GIF payloads (decode_png/decode_gif), spectral
+    stats for PCM WAV payloads (decode_wav), and frame-averaged pixel stats
+    for uncompressed-AVI payloads (decode_avi). Other payloads under
+    fake=False raise NotImplementedError: JPEG pixel decode, compressed
+    audio, and compressed video genuinely need PIL/torchaudio/ffmpeg, which
+    this container lacks — honest stub, same Spark plumbing either way.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,9 +120,12 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 if got is None:
                     got = _wav_audio_features(b)
                 if got is None:
+                    got = _avi_video_features(b)
+                if got is None:
                     raise NotImplementedError(
-                        "real decode implemented for PNG and PCM WAV only; "
-                        "JPEG/GIF/compressed-audio/video require "
+                        "real decode implemented for PNG/GIF, PCM WAV, and "
+                        "uncompressed AVI only; JPEG pixels, compressed "
+                        "audio, and compressed video require "
                         "PIL/torchaudio/ffmpeg — not in this container"
                     )
                 feats.append(got)
@@ -133,7 +145,12 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame sampling: 1→N rows per input (UDTF shape, mirrors the
     reference's subheading fan-out, /root/reference/src/mtix/predictors.py:200-203).
-    Fake kernel emits one 16-byte 'frame' per sampled timestamp."""
+
+    fake=True emits one deterministic 16-byte 'frame' per sampled
+    timestamp. fake=False REALLY decodes the payload (uncompressed AVI,
+    decode_avi), picks the frame at each every_ms timestamp, and emits it
+    as a standalone PNG (encode_png) — compressed containers raise
+    NotImplementedError (ffmpeg-less container)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,17 +158,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             for mid, dur, payload in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
-                if not fake:
-                    raise NotImplementedError("real frame extraction requires ffmpeg")
-                n = max(1, int(dur or 0) // every_ms)
+                if fake:
+                    n = max(1, int(dur or 0) // every_ms)
+                    for i in range(n):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_payload"].append(
+                            hashlib.blake2b(
+                                bytes(payload) + i.to_bytes(4, "little"),
+                                digest_size=16,
+                            ).digest()
+                        )
+                    continue
+                frames, fps = decode_avi(bytes(payload))
+                dur_ms = frames.shape[0] * 1000 // fps
+                n = max(1, dur_ms // every_ms)
                 for i in range(n):
+                    src = min(i * every_ms * fps // 1000, frames.shape[0] - 1)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
-                    out["frame_payload"].append(
-                        hashlib.blake2b(
-                            bytes(payload) + i.to_bytes(4, "little"), digest_size=16
-                        ).digest()
-                    )
+                    out["frame_payload"].append(encode_png(frames[src]))
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
@@ -571,6 +597,147 @@ def _wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | 
     return feats
 
 
+def encode_avi(frames: np.ndarray, fps: int = 4) -> bytes:
+    """Minimal REAL AVI writer (pure struct + numpy): RIFF 'AVI ' container
+    with one uncompressed BI_RGB 'DIB ' video stream. Takes (N, H, W, 3)
+    uint8 RGB frames; stores them per spec as bottom-up BGR rows padded to
+    4 bytes in '00db' movi chunks, with avih/strh/strf headers. Spec-valid
+    output any AVI player accepts; lets the sandbox exercise real video
+    payloads without ffmpeg."""
+    import struct
+
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3 or f.shape[0] < 1:
+        raise ValueError("frames must be (N, H, W, 3) uint8")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    n, h, w, _ = f.shape
+    row_bytes = (w * 3 + 3) & ~3
+    size_image = h * row_bytes
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    buf = np.zeros((h, row_bytes), np.uint8)
+    movi = bytearray(b"movi")
+    for fr in f:
+        buf[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        movi += chunk(b"00db", buf.tobytes())
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, size_image * fps, 0, 0x10, n, 0, 1,
+        size_image, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, size_image, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + chunk(b"LIST", bytes(movi))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal REAL AVI decoder (pure struct + numpy) — the inverse of
+    encode_avi, generalized to any RIFF 'AVI ' with an uncompressed BI_RGB
+    24-bit video stream (bottom-up or top-down, padded rows, chunk walk
+    with even padding per the RIFF spec). Returns ((N, H, W, 3) uint8 RGB
+    frames, fps). Raises ValueError on malformed bytes,
+    NotImplementedError on spec-valid-but-compressed streams (cinepak,
+    mjpeg, h264, ... genuinely need ffmpeg)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI signature")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_end = pos + 8 + ln
+            if body_end > end:
+                raise ValueError("truncated chunk")
+            yield tag, pos + 8, body_end
+            pos = body_end + (ln & 1)
+
+    width = height = None
+    scale, rate = 1, 0
+    bitcount = compression = None
+    frames_raw: list[bytes] = []
+    top_down = False
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal width, height, scale, rate, bitcount, compression, top_down
+        for tag, b0, b1 in walk(payload, pos, end):
+            if tag == b"LIST":
+                scan(b0 + 4, b1)
+            elif tag == b"strh" and b1 - b0 >= 48:
+                if payload[b0 : b0 + 4] == b"vids":
+                    scale, rate = struct.unpack("<II", payload[b0 + 20 : b0 + 28])
+            elif tag == b"strf" and b1 - b0 >= 40 and bitcount is None:
+                _, bw, bh, _, bc, comp = struct.unpack(
+                    "<IiiHHI", payload[b0 : b0 + 20]
+                )
+                width, height, bitcount, compression = bw, bh, bc, comp
+                if height < 0:  # negative biHeight = top-down rows
+                    height, top_down = -height, True
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                frames_raw.append(payload[b0:b1])
+
+    scan(12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0]))
+    if width is None or bitcount is None:
+        raise ValueError("missing strf header")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"unsupported AVI stream: compression={compression} bits={bitcount}"
+            " (only uncompressed BI_RGB 24-bit decodes without ffmpeg)"
+        )
+    if width < 1 or height < 1:
+        raise ValueError("bad frame dimensions")
+    if not frames_raw:
+        raise ValueError("no video frames in movi list")
+    row_bytes = (width * 3 + 3) & ~3
+    need = height * row_bytes
+    out = np.empty((len(frames_raw), height, width, 3), np.uint8)
+    for i, blob in enumerate(frames_raw):
+        if len(blob) < need:
+            raise ValueError(f"frame {i}: {len(blob)} bytes < {need} expected")
+        rows = np.frombuffer(blob, np.uint8, need).reshape(height, row_bytes)
+        bgr = rows[:, : width * 3].reshape(height, width, 3)
+        if not top_down:
+            bgr = bgr[::-1]
+        out[i] = bgr[:, :, ::-1]
+    fps = max(1, round(rate / scale)) if scale and rate else 1
+    return out, int(fps)
+
+
+_VIDEO_FEATURE_FRAMES = 4  # frames sampled per video for the 32-dim summary
+
+
+def _avi_video_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray | None:
+    """REAL frame-derived features for an uncompressed AVI payload: the
+    32-dim _pixel_summary averaged over ≤4 evenly spaced frames. Returns
+    None when the payload is not a decodable uncompressed AVI."""
+    try:
+        frames, _fps = decode_avi(payload)
+    except (ValueError, NotImplementedError):
+        return None
+    n = frames.shape[0]
+    take = np.unique(
+        np.linspace(0, n - 1, min(n, _VIDEO_FEATURE_FRAMES)).round().astype(int)
+    )
+    acc = np.zeros(dim, dtype=np.float64)
+    for i in take:
+        acc += _pixel_summary(frames[i], dim)
+    return (acc / take.size).astype(np.float32)
+
+
 def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
     """REAL image header parsing — PNG IHDR, JPEG SOF scan, GIF logical
     screen descriptor. Pure struct reads, no decoder library; returns
@@ -662,8 +829,9 @@ def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic media table for tests. Image payloads are REAL PNGs
     (encode_png) whose pixel dims match the metadata columns; audio
     payloads are REAL 16-bit PCM WAVs (encode_wav — seeded sine mixtures
-    whose sample count matches duration_ms); video payloads stay opaque
-    deterministic bytes (frame decode is still honestly stubbed)."""
+    whose sample count matches duration_ms); video payloads are REAL
+    uncompressed AVIs (encode_avi — seeded 16x16 RGB frames, frame count
+    matching duration_ms at 4 fps)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -689,16 +857,19 @@ def synth_media(spark, n: int = 100) -> DataFrame:
                 np.clip(sig * 20_000, -32_768, 32_767).astype(np.int16), rate
             )
         else:
-            w = h = None
-            payload = hashlib.blake2b(
-                f"media:{i}".encode(), digest_size=32
-            ).digest()
+            w = h = 16
+            fps, dur_s = 4, (1 + i % 5)
+            frames = rng.integers(
+                0, 256, size=(fps * dur_s, h, w, 3), dtype=np.uint8
+            )
+            payload = encode_avi(frames, fps)
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"image": "image/png", "audio": "audio/wav",
+                 "video": "video/x-msvideo"}[kind],
                 w,
                 h,
                 (1 + i % 5) * 1000 if kind != "image" else None,
