@@ -1004,7 +1004,7 @@ def test_extract_features_real_pixels(spark):
     import numpy as np
 
     from mtix_spark.multimodal import (
-        _png_pixel_features,
+        _image_pixel_features,
         decode_png,
         extract_features,
         synth_media,
@@ -1029,10 +1029,11 @@ def test_extract_features_real_pixels(spark):
         r["media_id"]: list(r["feature"]) for r in again
     }
     # undecodable payloads under fake=False stay honestly unimplemented
-    # (image/audio/video all decode now — plant a JPEG-like payload, whose
-    # pixel decode genuinely needs PIL)
+    # (PNG/GIF/baseline-JPEG/WAV/AVI all decode now — plant a payload in
+    # none of those formats, standing in for the compressed codecs that
+    # genuinely need ffmpeg)
     bogus = spark.createDataFrame(
-        [(999, "image", bytearray(b"\xff\xd8\xff\xd9 not decodable"), "image/jpeg",
+        [(999, "image", bytearray(b"\x00opaque compressed-codec payload"), "video/mp4",
           4, 4, None)],
         "media_id long, kind string, payload binary, mime string, "
         "width int, height int, duration_ms int",
@@ -1451,3 +1452,125 @@ def test_sample_frames_real_avi(spark):
         src = min(r["frame_idx"] * 1000 * fps // 1000, frames.shape[0] - 1)
         assert np.array_equal(decode_png(bytes(r["frame_payload"])), frames[src])
     assert per == {mid: max(1, d // 1000) for mid, d in durs.items()}
+
+
+def test_jpeg_roundtrip_subsampling_restart_grey():
+    """encode_jpeg/decode_jpeg (baseline ITU T.81, pure numpy/stdlib):
+    pixel round-trip within quantization error for 4:4:4 and 4:2:0, with
+    and without restart markers, color and greyscale, at non-multiple-of-8
+    dims; parse_image_dims agrees on the emitted header; spec-valid-but-
+    unsupported variants (progressive SOF2) raise NotImplementedError."""
+    import numpy as np
+
+    from mtix_spark.multimodal import decode_jpeg, encode_jpeg, parse_image_dims
+
+    h, w = 37, 61
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    for quality, sub, rst in [(90, False, 0), (90, True, 0), (75, False, 3), (95, True, 2)]:
+        b = encode_jpeg(smooth, quality=quality, subsample=sub, restart_interval=rst)
+        assert parse_image_dims(b) == ("image/jpeg", w, h)
+        out = decode_jpeg(b)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - smooth.astype(int))
+        assert err.mean() < 3.0 and err.max() <= 16, (quality, sub, rst, err.max())
+
+    # worst case for DCT coding: uniform noise at high quality, 4:4:4
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 8.0
+
+    # greyscale single-component file
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (h, w, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+    # deterministic encoder: same pixels -> same bytes
+    assert encode_jpeg(smooth, quality=80) == encode_jpeg(smooth, quality=80)
+
+    # progressive SOF2 is spec-valid but honestly unsupported
+    b = bytearray(encode_jpeg(smooth))
+    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_decode_fuzz_never_crashes():
+    """decode_jpeg on adversarial bytes — every truncation of a valid
+    baseline JPEG, random mutations, pure noise — fails only with
+    ValueError/NotImplementedError (never IndexError/struct.error), and
+    full valid bytes always decode."""
+    import numpy as np
+
+    from mtix_spark.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    seed = encode_jpeg(
+        rng.integers(0, 256, (17, 19, 3), dtype=np.uint8),
+        quality=70,
+        subsample=True,
+        restart_interval=2,
+    )
+
+    def check(b: bytes) -> None:
+        try:
+            out = decode_jpeg(b)
+        except (ValueError, NotImplementedError):
+            return
+        assert out.ndim == 3 and out.dtype == np.uint8
+
+    for cut in range(len(seed)):
+        check(seed[:cut])
+    for _ in range(400):
+        b = bytearray(seed)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        check(bytes(b))
+    for _ in range(200):
+        n = int(rng.integers(0, 96))
+        check(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+    assert decode_jpeg(seed).shape == (17, 19, 3)
+
+
+def test_extract_features_real_jpeg(spark):
+    """fake=False returns REAL pixel-derived features for JPEG payloads via
+    decode_jpeg, consistent with the PNG path on the same pixels: channel
+    means match the JPEG-decoded pixels exactly and sit within quantization
+    error of the source; histogram mass sums to 1."""
+    import numpy as np
+
+    from mtix_spark.multimodal import decode_jpeg, encode_jpeg, extract_features
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        px = rng.integers(0, 256, (32 + i, 40, 3), dtype=np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_jpeg(px, quality=92, subsample=i % 2 == 1)),
+             "image/jpeg", 40, 32 + i, None)
+        )
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: np.asarray(r["feature"], dtype=np.float32)
+           for r in extract_features(media, fake=False).collect()}
+    assert len(got) == 6
+    payloads = {i: bytes(r[2]) for i, r in enumerate(rows)}
+    for mid, f in got.items():
+        assert f.shape == (32,)
+        assert np.allclose(f[:24].reshape(3, 8).sum(axis=1), 1.0, atol=1e-5)
+        px = decode_jpeg(payloads[mid])
+        want = px.reshape(-1, 3).mean(axis=0) / 255.0
+        assert np.allclose(f[24:27], want, atol=1e-5)
