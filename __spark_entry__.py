@@ -1780,6 +1780,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(planted).alias("clean_text"))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (suffix-array-style dedup re-grained
+    to token 8-grams): 8-token grams shared by >= 2 distinct docs, merged
+    into maximal per-doc islands (gaps-and-islands window). One gram-keyed
+    count-distinct agg + a LEFT SEMI join back — the corpus never
+    self-joins."""
+    from mtix_spark.dedup import duplicate_spans
+
+    return duplicate_spans(_tbl(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
 def q_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking (split_long_docs, the remedy for the 2^22
     packed-position bound) at max_tokens=32 over `documents`: per source
@@ -2863,18 +2874,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is correctness-gate-significant: the driver oracles the FIRST 50
     # keys. Round-4 rotation (VERDICT r3 "Next round" #1): knn_ivf, pii_scrub — the
-    # only two entries that never had a driver row — and split_docs (new in r04) lead
-    # the window, back-filled with 47 r01-era entries whose last driver row was
-    # r01/r02, so the gate covers every never-checked entry and re-proves
-    # non-regression of rotated-out ones. The 50 entries driver-proven green in r03
-    # (CORRECTNESS_r03.json 50/50) move past the window, plus doc_fingerprint/knn_lsh
-    # (rows-only by design, judge-re-verified r3) and threshold_topn (driver-green in
-    # both r01 and r02, displaced to make room for split_docs).
+    # only two entries that never had a driver row — and split_docs + duplicate_spans
+    # (new in r04) lead the window, back-filled with 46 r01-era entries whose last
+    # driver row was r01/r02, so the gate covers every never-checked entry and
+    # re-proves non-regression of rotated-out ones. The 50 entries driver-proven green
+    # in r03 (CORRECTNESS_r03.json 50/50) move past the window, plus
+    # doc_fingerprint/knn_lsh (rows-only by design, judge-re-verified r3),
+    # threshold_topn (driver-green in r01 and r02) and regexp_topk (driver-green in
+    # r02), displaced to make room for the two new r04 entries.
     return {
-        # never driver-checked until r04 (ADVICE r3 low #5; split_docs new in r04)
+        # never driver-checked until r04 (ADVICE r3 low #5; split_docs and
+        # duplicate_spans new in r04)
         "knn_ivf": q_knn_ivf,
         "pii_scrub": q_pii_scrub,
         "split_docs": q_split_docs,
+        "duplicate_spans": q_duplicate_spans,
         # r01-era re-proof cross-section
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
@@ -2922,8 +2936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
         "fuzzy_topk": q_fuzzy_topk,
-        "regexp_topk": q_regexp_topk,
         # ---- end of the driver's 50-key gate window ----
+        # displaced by duplicate_spans (driver-green in r02, same precedent
+        # as threshold_topn in r04's rotation)
+        "regexp_topk": q_regexp_topk,
         # rows-only by design, judge-re-verified r3 (VERDICT r3)
         "doc_fingerprint": q_doc_fingerprint,
         "knn_lsh": q_knn_lsh,
@@ -3427,5 +3443,19 @@ SELECT doc_id,
   greatest(1, CAST(ceil(len({TOKS})/32.0) AS BIGINT)) AS n_chunks,
   len({TOKS})::BIGINT AS n_tokens
 FROM documents
+""".replace("{TOKS}", toks),
+        "duplicate_spans": """
+WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+g0 AS (SELECT doc_id, unnest(range(len(l) - 7)) AS pos, l FROM t WHERE len(l) >= 8),
+g AS (SELECT doc_id, pos, array_to_string(l[pos+1:pos+8], ' ') AS gram FROM g0),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d USING (gram)),
+w AS (SELECT doc_id, pos,
+  CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+       THEN 1 ELSE 0 END AS brk FROM m),
+i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM w)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+  count(*)::BIGINT AS n_grams
+FROM i GROUP BY doc_id, island
 """.replace("{TOKS}", toks),
     }

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mtix_spark.functions.text import tokenize
 
@@ -726,4 +727,71 @@ def boilerplate_ngrams(
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))  # ids distinct per doc already
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the "Deduplicating Training Data
+    Makes Language Models Better" operator, re-grained from suffix-array
+    bytes to token n-grams): every n-token gram occurring in >= min_docs
+    DISTINCT documents marks its token positions; marked positions whose
+    grams overlap or touch (position gap <= n) merge into maximal per-doc
+    islands. Returns (doc_id, span_start, span_end, n_grams): the half-open
+    token-coordinate span [span_start, span_end) plus how many duplicated
+    grams it contains — a scrub step slices these spans out of the training
+    text instead of dropping whole documents.
+
+    Scale plan (100 TB): positional grams are built split-once (token array
+    materialized before the gram transform — the CSE lesson); the
+    duplicated-gram dictionary is ONE count-distinct aggregation with
+    map-side partials keyed on the gram; membership flows back as a LEFT
+    SEMI join on the gram (no payload duplication — and never a corpus
+    self-join); island merging is a per-doc window after one shuffle on the
+    doc id. A suffix array finds byte-exact spans of any length; gram-
+    grained spans of length >= n are the standard distributed relaxation.
+    """
+    pre = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = pre.select("id", F.posexplode(grams_arr).alias("pos", "gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    marked = grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    # island break when this gram does not overlap/touch the previous one;
+    # coalesce puts the first row in island 1 (same CASE in the SQL oracle)
+    marked = marked.withColumn(
+        "brk",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n + 1)) > n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end", "n_grams")
     )

@@ -1574,3 +1574,40 @@ def test_extract_features_real_jpeg(spark):
         px = decode_jpeg(payloads[mid])
         want = px.reshape(-1, 3).mean(axis=0) / 255.0
         assert np.allclose(f[24:27], want, atol=1e-5)
+
+
+def test_duplicate_spans_semantics(spark):
+    """duplicate_spans (suffix-array-style dedup at token-8-gram grain):
+    planted cross-doc sequences are found with exact token coordinates,
+    touching spans merge into one island, intra-doc-only repeats are NOT
+    flagged, and the result is partitioning-invariant."""
+    from mtix_spark.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"unique one text {shared} tail words here xyz"),
+        (2, f"other document prefix {shared} and a different suffix"),
+        (3, "completely unrelated content with no overlap at all whatsoever"),
+        (4, f"{shared} {shared} doubled immediately"),
+        (5, "short"),
+        (6, " ".join(["repeat"] * 9) + " only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, duplicate_spans(df, n=8, min_docs=2).collect()))
+    # doc1/doc2: the 10-token shared run marks grams at offsets 3..5 after
+    # their 3-token prefixes -> span [3, 13), 3 grams. doc4 holds the run
+    # twice: gram islands [0,2] and [10,12] touch (gap 8 <= n) -> ONE merged
+    # span [0, 20) with 6 grams. doc6's repeats exist only within one doc.
+    assert got == [(1, 3, 13, 3), (2, 3, 13, 3), (4, 0, 20, 6)]
+    again = sorted(
+        map(tuple, duplicate_spans(df.repartition(5), n=8, min_docs=2).collect())
+    )
+    assert again == got
+    # no duplicated grams at all -> empty frame with the right schema
+    none = duplicate_spans(
+        spark.createDataFrame(docs[2:3], "doc_id long, text string"),
+        n=8,
+        min_docs=2,
+    )
+    assert none.count() == 0
+    assert none.columns == ["doc_id", "span_start", "span_end", "n_grams"]
