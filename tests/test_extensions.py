@@ -1611,3 +1611,27 @@ def test_duplicate_spans_semantics(spark):
     )
     assert none.count() == 0
     assert none.columns == ["doc_id", "span_start", "span_end", "n_grams"]
+
+
+def test_scrub_spans_removes_exact_tokens(spark):
+    """scrub_spans drops exactly the tokens inside duplicate_spans' flagged
+    ranges (positional Column lambda, no Python), leaves clean docs
+    untouched, and yields '' (not null) for a fully-duplicated doc."""
+    from mtix_spark.dedup import duplicate_spans, scrub_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"unique one text {shared} tail words here xyz"),
+        (2, f"other document prefix {shared} and a different suffix"),
+        (3, "completely unrelated content with no overlap at all whatsoever"),
+        (4, shared),       # fully duplicated -> fully scrubbed
+        (5, shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, n=8, min_docs=2)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in scrub_spans(df, spans).collect()}
+    assert got[1] == ("unique one text tail words here xyz", 10)
+    assert got[2] == ("other document prefix and a different suffix", 10)
+    assert got[3] == ("completely unrelated content with no overlap at all whatsoever", 0)
+    assert got[4] == ("", 10) and got[5] == ("", 10)
