@@ -60,7 +60,7 @@ SUITE = [
     "lm_dirichlet_topk", "near_match", "boolean_search",
     "pack_sequences", "training_order", "tfidf_vectors", "date_histogram",
     "gopher_repetition", "pii_scrub", "boilerplate_ngrams", "knn_ivf",
-    "dedup_clusters_star", "split_docs", "duplicate_spans",
+    "dedup_clusters_star", "split_docs", "duplicate_spans", "scrub_spans",
 ]
 
 
