@@ -1151,8 +1151,8 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_oracle() -> str:
-    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+def _knn_oracle(query_ids: list[int] | None = None) -> str:
+    ids = ", ".join(str(i) for i in (query_ids or KNN_QUERY_IDS))
 
     def dot(x, y):
         return f"list_sum(list_transform(range(64), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE))"
@@ -1184,6 +1184,93 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
     )
+
+
+HYBRID_QUERY_IDS = [qid for qid, _ in FIXED_QUERIES]
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector search: BM25 top-k over `documents` fused with
+    cosine top-k over `embeddings` by reciprocal-rank fusion (RRF, SIGIR'09)
+    — rank-based fusion needs no calibration between BM25 and cosine space.
+    Query vector for query_id q = embedding row vec_id == q (self excluded
+    on the vector leg). Relational legs; shares its oracle with the
+    physical-index twin `hybrid_rrf_index`."""
+    from mtix_spark.hybrid import hybrid_rrf_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = hybrid_rrf_topk(docs, emb, FIXED_QUERIES, k=TOPK, leg_k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_hybrid_rrf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the lexical leg answered from the PHYSICAL inverted
+    index (block-max MaxScore kernel), dense ids remapped through the
+    docmap before fusing — must agree row-for-row with q_hybrid_rrf's
+    relational legs and the shared DuckDB oracle."""
+    from mtix_spark.hybrid import hybrid_rrf_index
+
+    paths = _docs_index(spark, sf_dir)
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("doc_id")
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = hybrid_rrf_index(
+        spark, paths, emb, FIXED_QUERIES, k=TOPK, leg_k=TOPK, id_map=docmap
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _hybrid_oracle() -> str:
+    from mtix_spark.hybrid import RRF_K
+
+    return f"""
+WITH lex AS ({_bm25_oracle()}),
+vec AS ({_knn_oracle(HYBRID_QUERY_IDS)}),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1.0 / ({RRF_K} + rank) AS c FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery / field_value_factor: BM25 relevance multiplied by
+    a document-length prior ln(1 + n_chars), re-ranked AFTER the boost (a
+    boost can promote a doc from below any fixed relevance cut, so the
+    relational path ranks the full matched set)."""
+    from mtix_spark.expand import function_score_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = function_score_topk(
+        docs,
+        FIXED_QUERIES,
+        factor=F.log(F.lit(1.0) + F.col("n_chars")),
+        k=TOPK,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _function_score_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    return _expanded_bm25_oracle(cte, boost_expr="ln(1.0 + doc.n_chars)")
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2565,15 +2652,25 @@ def q_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _expanded_bm25_oracle(
-    expansion_cte: str, scored_where: str = "", page: int = 1
+    expansion_cte: str, scored_where: str = "", page: int = 1, boost_expr: str = ""
 ) -> str:
     """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
     BM25 with per-term idf over the expanded disjunction — the SQL twin of
     mtix_spark.expand.expanded_bm25. `scored_where` injects an optional
     predicate into the scoring join (e.g. MLT self-exclusion); `page`
     selects deep-ranking slice ((page-1)*k, page*k], ranks renumbered 1..k
-    — the searchAfter twin."""
+    — the searchAfter twin. `boost_expr` (a SQL expression over alias `doc`,
+    the documents row) multiplies the rounded base score and re-rounds
+    BEFORE ranking — the FunctionScoreQuery twin."""
     toks = TOK.format(c="text")
+    boost_cte, rank_src = "", "scored"
+    if boost_expr:
+        boost_cte = f""",
+boosted AS (
+  SELECT s.query_id, s.doc_id, round(s.score * ({boost_expr}), 6) AS score
+  FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
+)"""
+        rank_src = "boosted"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -2604,11 +2701,11 @@ scored AS (
   CROSS JOIN stats s
   {scored_where}
   GROUP BY 1, 2
-)
+){boost_cte}
 SELECT query_id, rank - {(page - 1) * TOPK} AS rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-  FROM scored
+  FROM {rank_src}
 ) WHERE rank > {(page - 1) * TOPK} AND rank <= {page * TOPK}
 """
 
@@ -2893,13 +2990,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # threshold_topn (driver-green in r01 and r02) and regexp_topk (driver-green in
     # r02), displaced to make room for the two new r04 entries.
     return {
-        # never driver-checked until r04 (ADVICE r3 low #5; split_docs and
-        # duplicate_spans new in r04)
+        # never driver-checked until r04 (ADVICE r3 low #5; split_docs,
+        # duplicate_spans, hybrid RRF and function score new in r04)
         "knn_ivf": q_knn_ivf,
         "pii_scrub": q_pii_scrub,
         "split_docs": q_split_docs,
         "duplicate_spans": q_duplicate_spans,
         "scrub_spans": q_scrub_spans,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_index": q_hybrid_rrf_index,
+        "function_score": q_function_score,
         # r01-era re-proof cross-section
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
@@ -2943,12 +3043,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_deleted_topk": q_bm25_deleted_topk,
         "bm25_facets": q_bm25_facets,
+        # ---- end of the driver's 50-key gate window ----
+        # displaced by duplicate_spans/scrub_spans/hybrid_rrf/
+        # hybrid_rrf_index/function_score (all driver-green in r01/r02,
+        # same precedent as threshold_topn in r04's rotation)
         "bm25f_topk": q_bm25f_topk,
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
-        # ---- end of the driver's 50-key gate window ----
-        # displaced by duplicate_spans + scrub_spans (both driver-green in
-        # r02, same precedent as threshold_topn in r04's rotation)
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         # rows-only by design, judge-re-verified r3 (VERDICT r3)
@@ -3491,4 +3592,7 @@ SELECT doc_id,
   (len(l) - len(kept))::BIGINT AS n_removed
 FROM k
 """.replace("{TOKS}", toks),
+        "hybrid_rrf": _hybrid_oracle(),
+        "hybrid_rrf_index": _hybrid_oracle(),
+        "function_score": _function_score_oracle(),
     }

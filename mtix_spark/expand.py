@@ -640,3 +640,51 @@ def expanded_constant_score(
         .distinct()
         .withColumn("score", F.lit(1.0))
     )
+
+
+def function_score_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    factor,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FunctionScoreQuery (Lucene) / field_value_factor (the ES idiom):
+    final score = round(BM25 * factor(doc), 6), ranked AFTER boosting.
+
+    `factor` is a Column over `docs` (e.g. ``F.log(1.0 + F.col("n_chars"))``
+    for a length prior, or a recency decay over a timestamp column). The
+    relevance leg must score the full matched set — boosting can promote a
+    doc from below any fixed relevance cut — so this ranks the union of the
+    query terms' postings, which is already the bounded candidate set every
+    disjunctive query touches. At the physical index the same query runs
+    top-k-safe by multiplying each block-max bound by max(factor) (finite
+    for any bounded field factor), the standard boost-aware MaxScore
+    argument; the relational form here needs no such bound.
+
+    Returns (query_id, rank, doc_id, score), tie-break score DESC /
+    doc_id ASC after the boost is applied.
+    """
+    spark = docs.sparkSession
+    rows = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
+    ]
+    exp = spark.createDataFrame(rows, "query_id long, term string")
+    base = expanded_bm25(docs, exp, k=2**31 - 1, id_col=id_col, text_col=text_col)
+    fac = docs.select(
+        F.col(id_col).alias("doc_id"), factor.cast("double").alias("__factor")
+    )
+    boosted = base.join(fac, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score") * F.col("__factor"), SCORE_DECIMALS).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
