@@ -1273,6 +1273,90 @@ def _function_score_oracle() -> str:
     return _expanded_bm25_oracle(cte, boost_expr="ln(1.0 + doc.n_chars)")
 
 
+def _remap_rerank(spark: SparkSession, paths, res: DataFrame, k: int = TOPK) -> DataFrame:
+    """Shared index-entry epilogue: dense→original id remap through the
+    docmap, then re-rank under the oracle's (score DESC, doc_id ASC)
+    tie-break — callers fetch a tie margin (k×5) first, the standard
+    discipline of _bm25_over_documents."""
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    res = (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+        )
+    )
+
+
+MIN_MATCH_M = 2
+
+
+def q_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match=2 (Lucene BooleanQuery msm): disjunctive BM25
+    where only docs matching ≥ 2 distinct query terms may rank; every
+    matched term still contributes to the score. Relational twin — shares
+    its oracle with q_min_match_index."""
+    from mtix_spark.expand import expanded_bm25
+
+    docs = _tbl(spark, sf_dir, "documents")
+    exp = spark.createDataFrame(_q_terms(), "query_id long, term string")
+    out = expanded_bm25(docs, exp, k=TOPK, min_match=MIN_MATCH_M)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_min_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match=2 from the PHYSICAL index: the MaxScore kernel
+    tracks a per-candidate distinct-term count and restricts admission when
+    either the remaining-term count can't reach the threshold or the k-th
+    qualifying candidate beats the remaining bound (search.py kernel
+    contract) — must agree row-for-row with the relational twin's oracle."""
+    from mtix_spark.index.search import bm25_topk_segments
+
+    paths = _docs_index(spark, sf_dir)
+    res = bm25_topk_segments(
+        spark, paths, FIXED_QUERIES, k=TOPK * 5, min_match=MIN_MATCH_M
+    )
+    return _remap_rerank(spark, paths, res)
+
+
+def _min_match_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    return _expanded_bm25_oracle(cte, min_match=MIN_MATCH_M)
+
+
+def q_function_score_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery at the PHYSICAL index: boost-aware MaxScore with
+    the factor ln(1 + dl) computed from the stored per-segment doc lengths
+    (the one per-doc field the index already serves executor-locally);
+    every block-max bound is scaled by the segment's max factor and θ is
+    evaluated in boosted space, so pruning stays exact under the boost."""
+    from mtix_spark.index.search import bm25_topk_segments
+
+    paths = _docs_index(spark, sf_dir)
+    res = bm25_topk_segments(
+        spark, paths, FIXED_QUERIES, k=TOPK * 5, dl_factor="log1p_dl"
+    )
+    return _remap_rerank(spark, paths, res)
+
+
+def _function_score_index_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    dl_of_doc = "len(" + TOK.format(c="doc.text") + ")"
+    return _expanded_bm25_oracle(cte, boost_expr=f"ln(1.0 + {dl_of_doc})")
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mtix_spark.similarity import embedding_near_dup_pairs
 
@@ -2652,7 +2736,11 @@ def q_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _expanded_bm25_oracle(
-    expansion_cte: str, scored_where: str = "", page: int = 1, boost_expr: str = ""
+    expansion_cte: str,
+    scored_where: str = "",
+    page: int = 1,
+    boost_expr: str = "",
+    min_match: int = 1,
 ) -> str:
     """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
     BM25 with per-term idf over the expanded disjunction — the SQL twin of
@@ -2661,8 +2749,12 @@ def _expanded_bm25_oracle(
     selects deep-ranking slice ((page-1)*k, page*k], ranks renumbered 1..k
     — the searchAfter twin. `boost_expr` (a SQL expression over alias `doc`,
     the documents row) multiplies the rounded base score and re-rounds
-    BEFORE ranking — the FunctionScoreQuery twin."""
+    BEFORE ranking — the FunctionScoreQuery twin. `min_match` ≥ 2 keeps
+    only docs matching that many distinct expanded terms (the scored group
+    has one row per matched term, so it is a HAVING count) — the
+    minimum_should_match twin."""
     toks = TOK.format(c="text")
+    having = f"\n  HAVING count(*) >= {min_match}" if min_match > 1 else ""
     boost_cte, rank_src = "", "scored"
     if boost_expr:
         boost_cte = f""",
@@ -2700,7 +2792,7 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   {scored_where}
-  GROUP BY 1, 2
+  GROUP BY 1, 2{having}
 ){boost_cte}
 SELECT query_id, rank - {(page - 1) * TOPK} AS rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
@@ -3000,6 +3092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_rrf_index": q_hybrid_rrf_index,
         "function_score": q_function_score,
+        "function_score_index": q_function_score_index,
+        "min_match": q_min_match,
+        "min_match_index": q_min_match_index,
         # r01-era re-proof cross-section
         "tf_postings": q_tf_postings,
         "term_dict": q_term_dict,
@@ -3040,13 +3135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
+        # ---- end of the driver's 50-key gate window ----
+        # displaced by the r04 additions (duplicate_spans/scrub_spans/
+        # hybrid_rrf/hybrid_rrf_index/function_score/function_score_index/
+        # min_match/min_match_index) — every displaced key below is
+        # driver-green in r01/r02 AND was re-verified green across the full
+        # registry in r03 (VERDICT r3), same precedent as threshold_topn
         "bm25_and_topk": q_bm25_and_topk,
         "bm25_deleted_topk": q_bm25_deleted_topk,
         "bm25_facets": q_bm25_facets,
-        # ---- end of the driver's 50-key gate window ----
-        # displaced by duplicate_spans/scrub_spans/hybrid_rrf/
-        # hybrid_rrf_index/function_score (all driver-green in r01/r02,
-        # same precedent as threshold_topn in r04's rotation)
         "bm25f_topk": q_bm25f_topk,
         "boolean_search": q_boolean_search,
         "wildcard_topk": q_wildcard_topk,
@@ -3595,4 +3692,7 @@ FROM k
         "hybrid_rrf": _hybrid_oracle(),
         "hybrid_rrf_index": _hybrid_oracle(),
         "function_score": _function_score_oracle(),
+        "function_score_index": _function_score_index_oracle(),
+        "min_match": _min_match_oracle(),
+        "min_match_index": _min_match_oracle(),
     }

@@ -115,6 +115,7 @@ def expanded_bm25(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_query_doc: bool = False,
+    min_match: int = 1,
 ) -> DataFrame:
     """Disjunctive BM25 over an (query_id, term) expansion relation.
 
@@ -124,6 +125,12 @@ def expanded_bm25(
     fetch every query runs; df/dl/avgdl are corpus-global. Returns
     (query_id, rank, doc_id, score), tie-break score DESC / doc_id ASC,
     scores rounded to SCORE_DECIMALS.
+
+    `min_match` ≥ 2 is Lucene's minimum_should_match: only docs matching at
+    least that many distinct expanded terms rank (all matched terms still
+    contribute) — relationally a HAVING count(*) on the per-(query, doc)
+    aggregation, since the tf relation holds one row per distinct
+    (doc, term). The physical twin is SegmentSearcher.search(min_match=m).
     """
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
@@ -155,8 +162,14 @@ def expanded_bm25(
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .agg(
+            F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("__n_matched"),
+        )
     )
+    if min_match > 1:
+        scored = scored.filter(F.col("__n_matched") >= min_match)
+    scored = scored.drop("__n_matched")
     if exclude_query_doc:
         # more-like-this mode: query_id IS a source doc id — never return it
         scored = scored.filter(F.col("query_id") != F.col("doc_id"))

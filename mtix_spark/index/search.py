@@ -38,6 +38,13 @@ from mtix_spark.index.codec import decode_varint, delta_decode
 
 SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
 
+# Named per-document boost factors over the stored doc length (the one
+# per-doc field the index already serves executor-locally) — referenced by
+# NAME so the applyInPandas kernel closure stays small and picklable.
+# Every factor must be nonnegative so UB·max(f) stays a sound MaxScore
+# bound (see _maxscore_kernel's dl_factor contract).
+DL_FACTORS: dict = {"log1p_dl": np.log1p}
+
 
 class _LRUCache:
     """Bounded LRU mapping for SERVING-HANDLE caches (VERDICT r3: a
@@ -222,6 +229,8 @@ def _maxscore_kernel(
     k: int,
     bm_scale: float = 1.0,
     deleted: np.ndarray | None = None,
+    min_match: int = 1,
+    dl_factor: str | None = None,
 ) -> pd.DataFrame:
     """Term-at-a-time BM25 with MaxScore pruning over one segment.
 
@@ -241,6 +250,23 @@ def _maxscore_kernel(
     since the dl term scales at most linearly in 1/avgdl. Exact scores are
     always recomputed with the query-time avgdl — the scale affects pruning
     bounds only, never values.
+
+    `min_match` ≥ 2 is Lucene's minimum_should_match: only docs matching at
+    least that many DISTINCT query terms may rank (all matched terms still
+    contribute to the score). The kernel tracks a per-candidate match count
+    and the restriction rule becomes: stop admitting new docs when EITHER
+    (a) the remaining-term count < min_match (a doc first seen at term i can
+    never reach the threshold), or (b) the k-th best CURRENTLY-QUALIFYING
+    candidate already beats the remaining upper bound (counts and scores
+    only grow, so both the qualifying set and θ_q are monotone — the usual
+    MaxScore lower-bound argument restricted to the qualifying subset).
+
+    `dl_factor` names a per-document boost f(dl) from `DL_FACTORS`
+    (FunctionScoreQuery with a doc-length field factor): final score =
+    round(round(Σ contrib, 6) · f(dl_d), 6), ranked boosted. Pruning stays
+    exact by scaling every upper bound by max_d f(dl_d) over the segment
+    and computing θ in boosted space — the boost-aware MaxScore argument
+    (each factor is monotone nonneg, so UB·f_max bounds any unseen doc).
     """
     by_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     ubs: dict[str, float] = {}
@@ -261,10 +287,16 @@ def _maxscore_kernel(
         by_term[r.term] = (ids, tfs, bm)
         ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) * bm_scale if bm.size else 0.0
 
+    fac = None
+    fac_max = 1.0
+    if dl_factor is not None:
+        fac = DL_FACTORS[dl_factor](dl_by_doc.astype(np.float64))
+        fac_max = float(fac.max()) if fac.size else 1.0
+
     out = {"query_id": [], "doc_id": [], "score": []}
     for qid, terms in queries:
         terms = [t for t in terms if t in by_term and idf.get(t, 0.0) > 0.0]
-        if not terms:
+        if not terms or len(terms) < min_match:
             continue
         # deterministic processing order: UB desc, term asc
         terms = sorted(terms, key=lambda t: (-ubs[t], t))
@@ -274,13 +306,27 @@ def _maxscore_kernel(
         # np.zeros(seg_n) per query is ~1 GB at 10⁸-doc segments)
         cand_local = np.empty(0, dtype=np.int64)
         cand_acc = np.empty(0, dtype=np.float64)
+        cand_cnt = np.empty(0, dtype=np.int64)
         restricted = False
         for i, t in enumerate(terms):
             ids, tfs, bm = by_term[t]
-            if not restricted and i > 0 and cand_local.size >= k:
-                theta = np.partition(cand_acc, cand_acc.size - k)[cand_acc.size - k]
-                if suffix_ub[i] < theta:
+            if not restricted and i > 0:
+                if len(terms) - i < min_match:
+                    # a doc first seen now can never reach min_match terms
                     restricted = True
+                else:
+                    if min_match > 1:
+                        sel = np.flatnonzero(cand_cnt >= min_match)
+                        q = cand_acc[sel]
+                        q_ids = cand_local[sel]
+                    else:
+                        q, q_ids = cand_acc, cand_local
+                    if fac is not None:
+                        q = q * fac[q_ids]
+                    if q.size >= k:
+                        theta = np.partition(q, q.size - k)[q.size - k]
+                        if suffix_ub[i] * fac_max < theta:
+                            restricted = True
             local = ids - seg_base
             w = idf[t] * tfs * (K1 + 1.0) / (
                 tfs + K1 * (1.0 - B + B * dl_by_doc[local] / avgdl)
@@ -291,27 +337,48 @@ def _maxscore_kernel(
                 pos_c = np.minimum(pos, cand_local.size - 1)
                 hit = cand_local[pos_c] == local
                 cand_acc[pos_c[hit]] += w[hit]  # hit indices unique (both sorted-unique)
+                if min_match > 1:
+                    cand_cnt[pos_c[hit]] += 1
             else:
                 merged = np.unique(np.concatenate([cand_local, local]))
+                idx_old = np.searchsorted(merged, cand_local)
+                idx_new = np.searchsorted(merged, local)
                 new_acc = np.zeros(merged.size, dtype=np.float64)
-                new_acc[np.searchsorted(merged, cand_local)] = cand_acc
-                new_acc[np.searchsorted(merged, local)] += w
+                new_acc[idx_old] = cand_acc
+                new_acc[idx_new] += w
+                if min_match > 1:
+                    new_cnt = np.zeros(merged.size, dtype=np.int64)
+                    new_cnt[idx_old] = cand_cnt
+                    new_cnt[idx_new] += 1
+                    cand_cnt = new_cnt
                 cand_local, cand_acc = merged, new_acc
+        if min_match > 1:
+            qual = np.flatnonzero(cand_cnt >= min_match)
+            cand_local, cand_acc = cand_local[qual], cand_acc[qual]
         if cand_local.size == 0:
             continue
+        if fac is not None:
+            # match the relational/oracle twin's double rounding exactly:
+            # the base BM25 sum is a 6-decimal quantity BEFORE the boost
+            final = np.round(
+                np.round(cand_acc, SCORE_DECIMALS) * fac[cand_local], SCORE_DECIMALS
+            )
+        else:
+            final = cand_acc
         kk = min(k, cand_local.size)
-        part = np.argpartition(-cand_acc, kk - 1)[:kk]
+        part = np.argpartition(-final, kk - 1)[:kk]
         # argpartition picks ARBITRARY members of a tied class at the kth
         # boundary; a dropped smaller-doc_id tie would then lose to a kept
         # larger one in the global merge, diverging from the oracle's
         # (score DESC, doc_id ASC) order. Widen to every boundary tie, sort
         # deterministically, THEN cut.
-        cand = np.flatnonzero(cand_acc >= cand_acc[part].min())
-        order = np.lexsort((cand_local[cand], -cand_acc[cand]))  # score desc, doc asc
+        cand = np.flatnonzero(final >= final[part].min())
+        order = np.lexsort((cand_local[cand], -final[cand]))  # score desc, doc asc
         top = cand[order][:kk]
         out["query_id"].extend([qid] * top.size)
         out["doc_id"].extend((cand_local[top] + seg_base).tolist())
-        out["score"].extend(np.round(cand_acc[top], SCORE_DECIMALS).tolist())
+        scores = final[top] if fac is not None else np.round(cand_acc[top], SCORE_DECIMALS)
+        out["score"].extend(scores.tolist())
     return pd.DataFrame(out)
 
 
@@ -765,6 +832,8 @@ class SegmentSearcher:
         queries: list[tuple[int, str]],
         k: int,
         term_weights: dict[str, float] | None = None,
+        min_match: int = 1,
+        dl_factor: str | None = None,
     ) -> DataFrame | None:
         """Per-segment candidate top-k frame, or None if no query term has
         a positive idf (OOV/empty queries). `term_weights` multiplies a
@@ -818,17 +887,30 @@ class SegmentSearcher:
 
                 deleted = load_deleted(del_root, seg, del_epoch)
             return _maxscore_kernel(
-                p, dl, base, n, tokenized, idf, avgdl, k, scale, deleted
+                p, dl, base, n, tokenized, idf, avgdl, k, scale, deleted,
+                min_match, dl_factor,
             )
 
         return postings.groupBy("seg").applyInPandas(
             kernel, "query_id long, doc_id long, score double"
         )
 
-    def search(self, queries: list[tuple[int, str]], k: int = 100) -> DataFrame:
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 100,
+        min_match: int = 1,
+        dl_factor: str | None = None,
+    ) -> DataFrame:
         """Top-k for a batch of (query_id, text). Returns
-        (query_id, rank, doc_id, score) under the fixed tie-break."""
-        per_seg = self._per_segment(queries, k)
+        (query_id, rank, doc_id, score) under the fixed tie-break.
+
+        `min_match` ≥ 2 = Lucene minimum_should_match (only docs matching
+        that many distinct query terms rank; every matched term still
+        scores). `dl_factor` names a DL_FACTORS boost: FunctionScoreQuery
+        with a doc-length field factor, ranked on the boosted score — both
+        run through the boost/count-aware MaxScore kernel, pruning intact."""
+        per_seg = self._per_segment(queries, k, min_match=min_match, dl_factor=dl_factor)
         if per_seg is None:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
@@ -1033,9 +1115,13 @@ def bm25_topk_segments(
     paths: IndexPaths,
     queries: list[tuple[int, str]],
     k: int = 100,
+    min_match: int = 1,
+    dl_factor: str | None = None,
 ) -> DataFrame:
     """One-shot top-k over the physical segment index."""
-    return SegmentSearcher(spark, paths, persist=False).search(queries, k)
+    return SegmentSearcher(spark, paths, persist=False).search(
+        queries, k, min_match=min_match, dl_factor=dl_factor
+    )
 
 
 class MergedSearcher:
