@@ -108,6 +108,51 @@ def expand_fuzzy(
     )
 
 
+def _term_contribs(
+    docs: DataFrame,
+    expanded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, term, contrib): the per-matched-term BM25
+    contribution relation behind every expanded scorer — tf semi-joined
+    against the (tiny, broadcast) expansion, per-term idf, corpus-global
+    dl/avgdl. `expanded_bm25` sums it; `dis_max_topk` takes max + tie-sum
+    over it. At the physical index this is exactly the pushed-down posting
+    fetch before accumulation."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("double").alias("dl"),
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+
+    exp = expanded.distinct()
+    hits = tf.join(F.broadcast(exp), "term")
+    dfreq = (
+        tf.join(F.broadcast(exp.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        .select("query_id", "doc_id", "term", "contrib")
+    )
+
+
 def expanded_bm25(
     docs: DataFrame,
     expanded: DataFrame,
@@ -132,35 +177,8 @@ def expanded_bm25(
     aggregation, since the tf relation holds one row per distinct
     (doc, term). The physical twin is SegmentSearcher.search(min_match=m).
     """
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).cast("double").alias("dl"),
-    )
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
-
-    exp = expanded.distinct()
-    hits = tf.join(F.broadcast(exp), "term")
-    dfreq = (
-        tf.join(F.broadcast(exp.select("term").distinct()), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "contrib",
-            idf
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))),
-        )
+        _term_contribs(docs, expanded, id_col, text_col)
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
@@ -698,6 +716,125 @@ def function_score_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def dis_max_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DisjunctionMaxQuery (Lucene dis_max) over the query's term clauses:
+
+        score(d) = max_t c_t(d) + tie_breaker · (Σ_t c_t(d) − max_t c_t(d))
+
+    where c_t is the per-term BM25 contribution. With tie_breaker=0 this is
+    pure best-clause ranking (a doc matching one strong term beats a doc
+    with many weak matches); tie_breaker=1 degenerates to the disjunctive
+    sum. Relationally it is the SAME per-term contribution relation as
+    `expanded_bm25`, aggregated with max+sum instead of sum — no extra
+    shuffle, identical candidate set, so the physical plan shape (and the
+    10^12-doc cost model) is unchanged. Rounded to 6, tie-break score DESC
+    / doc_id ASC."""
+    spark = docs.sparkSession
+    rows = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
+    ]
+    exp = spark.createDataFrame(rows, "query_id long, term string")
+    scored = (
+        _term_contribs(docs, exp, id_col, text_col)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.max("contrib")
+                + F.lit(float(tie_breaker)) * (F.sum("contrib") - F.max("contrib")),
+                SCORE_DECIMALS,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def rescore_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 30,
+    query_weight: float = 0.7,
+    rescore_weight: float = 0.3,
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-window rescoring (the Elasticsearch `rescore` API): rank the
+    corpus by cheap BM25, keep each query's top-`window` docs, then re-rank
+    ONLY that window by
+
+        final = round(query_weight · bm25 + rescore_weight · lm, 6)
+
+    with LM-Dirichlet query likelihood as the second-pass scorer. The
+    expensive scorer touches `window` docs per query — never the corpus —
+    which is the entire point of the pattern at 10^12 docs: first pass uses
+    the block-max index path, second pass is a per-candidate recompute.
+    Both passes here are relational (each has an index twin elsewhere:
+    bm25_topk_segments / lm_dirichlet_index); the window cut is
+    deterministic under the engine tie-break, so the composition is
+    oracle-exact. Returns (query_id, rank, doc_id, score) with rank over
+    the rescored window, truncated at k."""
+    from mtix_spark.index.search import lm_dirichlet_brute
+
+    spark = docs.sparkSession
+    rows = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
+    ]
+    exp = spark.createDataFrame(rows, "query_id long, term string")
+    first = expanded_bm25(docs, exp, k=window, id_col=id_col, text_col=text_col)
+
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    )
+    total_tokens = dl.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]
+    qdf = spark.createDataFrame(list(queries), "query_id long, text string")
+    lm = lm_dirichlet_brute(
+        tf, dl, qdf, total_tokens, mu=mu, k=2**31 - 1
+    ).select("query_id", "doc_id", F.col("score").alias("lm_score"))
+
+    rescored = (
+        first.select("query_id", "doc_id", F.col("score").alias("bm25"))
+        .join(lm, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.lit(float(query_weight)) * F.col("bm25")
+                + F.lit(float(rescore_weight)) * F.col("lm_score"),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )

@@ -231,3 +231,61 @@ def scrub_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def significant_terms(
+    df,
+    text_col: str,
+    fg_predicate: Column,
+    k: int = 25,
+    min_fg_df: int = 3,
+) -> "DataFrame":
+    """Elasticsearch significant_terms aggregation with the JLH heuristic:
+    for a FOREGROUND doc subset (fg_predicate over the doc row) against the
+    whole corpus as background, score each term by
+
+        jlh = (fg_pct − bg_pct) · (fg_pct / bg_pct)
+        fg_pct = df_fg / n_fg,  bg_pct = df_bg / n_docs   (document freq)
+
+    — the absolute-change × relative-change product that surfaces terms
+    OVERREPRESENTED in the foreground rather than merely frequent. Only
+    terms with fg_pct > bg_pct and df_fg ≥ min_fg_df qualify (rare-term
+    noise gate, the ES shard_min_doc_count analog).
+
+    Plan shape: one doc-distinct (doc, term) relation computed once, the
+    foreground flag carried as a 0/1 column so fg and bg document
+    frequencies come out of a SINGLE groupBy(term) aggregation — one
+    shuffle over the exploded corpus, no join of two term relations, and
+    the two scalar counts broadcast. At 10^12 docs the explode dominates;
+    it is the same map-side work every index build already does.
+
+    Returns (term, df_fg, df_bg, score) — score rounded to 6 — truncated
+    to the global top-k by (score DESC, term ASC). The cut is
+    orderBy().limit(k), which Catalyst plans as TakeOrderedAndProject
+    (per-partition partial top-k, k rows to the driver) — never a
+    single-partition window over the vocabulary.
+    """
+    doc_terms = (
+        df.withColumn("__fg", fg_predicate.cast("long"))
+        .select("__fg", F.explode_outer(F.array_distinct(tokenize(F.col(text_col)))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    counts = doc_terms.groupBy("term").agg(
+        F.sum("__fg").alias("df_fg"), F.count(F.lit(1)).alias("df_bg")
+    )
+    totals = df.agg(
+        F.sum(fg_predicate.cast("long")).alias("n_fg"), F.count(F.lit(1)).alias("n_docs")
+    )
+    fg_pct = F.col("df_fg") / F.col("n_fg")
+    bg_pct = F.col("df_bg") / F.col("n_docs")
+    scored = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter((F.col("df_fg") >= min_fg_df) & (fg_pct > bg_pct))
+        .select(
+            "term",
+            "df_fg",
+            "df_bg",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)

@@ -1,0 +1,167 @@
+"""dis_max / rescore / significant_terms algebra tests.
+
+Oracle twins live in __spark_entry__ (`dis_max`, `rescore`,
+`significant_terms`); these cover the properties a value-hash can't
+express: the tie_breaker limits (0 = pure best-clause, 1 = disjunctive
+sum), the window-confinement of rescoring (a doc outside the first-pass
+window must never surface, whatever its rescored value), and the JLH
+arithmetic against a pandas recompute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtix_spark.corpus import synth_queries
+from mtix_spark.expand import dis_max_topk, expanded_bm25, rescore_topk
+from mtix_spark.functions.text import significant_terms, tokenize
+from mtix_spark.hybrid import _query_expansion
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return [(q, t) for q, t, _ in synth_queries(spark, 8).collect()]
+
+
+def test_dis_max_tie_breaker_one_is_disjunctive_sum(spark, small_docs, queries):
+    exp = _query_expansion(spark, queries)
+    base = _rows(expanded_bm25(small_docs, exp, k=10, text_col="content"))
+    dm = _rows(
+        dis_max_topk(small_docs, queries, tie_breaker=1.0, k=10, text_col="content")
+    )
+    assert dm == base
+
+
+def test_dis_max_zero_is_best_clause_only(spark, small_docs, queries):
+    """tie_breaker=0 must equal max over per-term contributions — recompute
+    from single-term runs of expanded_bm25 (each term scored alone)."""
+    per_term = {}
+    for qid, text in queries:
+        terms = sorted({t for t in text.lower().split() if t})
+        for t in terms:
+            exp = spark.createDataFrame([(qid, t)], "query_id long, term string")
+            one = expanded_bm25(
+                small_docs, exp, k=2**31 - 1, text_col="content"
+            )
+            for r in one.collect():
+                key = (qid, r["doc_id"])
+                per_term[key] = max(per_term.get(key, 0.0), r["score"])
+    expect = []
+    bykey = {}
+    for (qid, d), s in per_term.items():
+        bykey.setdefault(qid, []).append((d, round(s, 6)))
+    for qid, lst in bykey.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(lst[:10], 1):
+            expect.append((qid, rank, d, s))
+    got = _rows(dis_max_topk(small_docs, queries, tie_breaker=0.0, k=10, text_col="content"))
+    assert got == sorted(expect)
+
+
+def test_rescore_stays_inside_first_pass_window(spark, small_docs, queries):
+    """Every rescored doc must come from the BM25 top-`window` of its query
+    — the whole point of the pattern (the expensive scorer never sees the
+    rest of the corpus)."""
+    window = 15
+    exp = _query_expansion(spark, queries)
+    first = {
+        (r["query_id"], r["doc_id"])
+        for r in expanded_bm25(
+            small_docs, exp, k=window, text_col="content"
+        ).collect()
+    }
+    out = rescore_topk(
+        small_docs, queries, window=window, k=10, text_col="content"
+    )
+    got = [(r["query_id"], r["doc_id"]) for r in out.collect()]
+    assert got and all(key in first for key in got)
+
+
+def test_rescore_weights_recompute(spark, small_docs, queries):
+    """final = round(0.6*bm25 + 0.4*lm, 6) over the window, re-ranked —
+    pandas recompute from the two single-scorer runs."""
+    from mtix_spark.index.search import lm_dirichlet_brute
+
+    window, k = 12, 5
+    exp = _query_expansion(spark, queries)
+    bm = expanded_bm25(small_docs, exp, k=window, text_col="content").toPandas()
+    tf = (
+        small_docs.select("doc_id", F.explode(tokenize(F.col("content"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = small_docs.select("doc_id", F.size(tokenize(F.col("content"))).alias("dl"))
+    total = dl.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    lm = lm_dirichlet_brute(tf, dl, qdf, total, k=2**31 - 1).toPandas()
+    merged = bm.merge(
+        lm[["query_id", "doc_id", "score"]].rename(columns={"score": "lm"}),
+        on=["query_id", "doc_id"],
+    )
+    merged["final"] = np.round(0.6 * merged["score"] + 0.4 * merged["lm"], 6)
+    expect = []
+    for qid, g in merged.groupby("query_id"):
+        g = g.sort_values(["final", "doc_id"], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), 1):
+            expect.append((qid, rank, int(row["doc_id"]), row["final"]))
+    got = _rows(
+        rescore_topk(
+            small_docs, queries, window=window, query_weight=0.6,
+            rescore_weight=0.4, k=k, text_col="content",
+        )
+    )
+    assert got == sorted(expect)
+
+
+def test_significant_terms_matches_pandas_jlh(spark, small_docs):
+    """JLH scores, the min_fg_df gate, and the fg>bg filter against a
+    pandas recompute over the full doc-term incidence."""
+    fg_term = "index_merge"
+    pdf = small_docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("content"))).alias("toks")
+    ).toPandas()
+    rows = [(r.doc_id, t) for r in pdf.itertuples() for t in r.toks]
+    dt = pd.DataFrame(rows, columns=["doc_id", "term"])
+    fg_docs = set(dt[dt["term"] == fg_term]["doc_id"])
+    n_fg, n_docs = len(fg_docs), len(pdf)
+    assert n_fg >= 5, "fixture must have a real foreground"
+    g = dt.groupby("term")["doc_id"]
+    stats = pd.DataFrame(
+        {
+            "df_bg": g.size(),
+            "df_fg": g.apply(lambda s: int(s.isin(fg_docs).sum())),
+        }
+    ).reset_index()
+    stats["fg_pct"] = stats["df_fg"] / n_fg
+    stats["bg_pct"] = stats["df_bg"] / n_docs
+    stats = stats[(stats["df_fg"] >= 3) & (stats["fg_pct"] > stats["bg_pct"])]
+    stats["score"] = np.round(
+        (stats["fg_pct"] - stats["bg_pct"]) * (stats["fg_pct"] / stats["bg_pct"]), 6
+    )
+    stats = stats.sort_values(["score", "term"], ascending=[False, True]).head(10)
+    expect = sorted(
+        (r.term, int(r.df_fg), int(r.df_bg), r.score) for r in stats.itertuples()
+    )
+    out = significant_terms(
+        small_docs,
+        "content",
+        F.array_contains(tokenize(F.col("content")), fg_term),
+        k=10,
+        min_fg_df=3,
+    )
+    got = sorted(
+        (r["term"], r["df_fg"], r["df_bg"], r["score"]) for r in out.collect()
+    )
+    assert got == expect
+    # the foreground term itself is maximally overrepresented -> rank 1
+    top = out.orderBy(F.desc("score"), F.asc("term")).first()
+    assert top["term"] == fg_term
