@@ -61,6 +61,10 @@ SUITE = [
     "pack_sequences", "training_order", "tfidf_vectors", "date_histogram",
     "gopher_repetition", "pii_scrub", "boilerplate_ngrams", "knn_ivf",
     "dedup_clusters_star", "split_docs", "duplicate_spans", "scrub_spans",
+    # r04 query-DSL additions — the index-backed variants exercise the
+    # count-aware / boost-aware MaxScore kernel and the RRF fusion path
+    "hybrid_rrf_index", "function_score_index", "min_match_index",
+    "dis_max", "rescore", "significant_terms",
 ]
 
 
