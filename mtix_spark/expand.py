@@ -815,8 +815,13 @@ def rescore_topk(
     )
     total_tokens = dl.agg(F.sum(F.col("dl").cast("double"))).collect()[0][0]
     qdf = spark.createDataFrame(list(queries), "query_id long, text string")
+    # the second pass scores ONLY the window (broadcast semi-join into the
+    # LM hit relation) — collection stats stay corpus-global, so the scores
+    # are identical to a full LM run restricted afterwards, but the
+    # aggregation input is |Q|·window rows instead of every matching doc
     lm = lm_dirichlet_brute(
-        tf, dl, qdf, total_tokens, mu=mu, k=2**31 - 1
+        tf, dl, qdf, total_tokens, mu=mu, k=2**31 - 1,
+        candidates=first.select("query_id", "doc_id"),
     ).select("query_id", "doc_id", F.col("score").alias("lm_score"))
 
     rescored = (

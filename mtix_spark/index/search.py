@@ -471,6 +471,7 @@ def lm_dirichlet_brute(
     total_tokens: int,
     mu: float = 2000.0,
     k: int = 100,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing — the standard
     alternative scoring family to BM25 (Zhai & Lafferty 2001; Lucene's
@@ -491,6 +492,12 @@ def lm_dirichlet_brute(
     (query_id, doc_id) aggregation, global top-k. tf: (term, doc_id, tf);
     doclens: (doc_id, dl). Returns (query_id, rank, doc_id, score) under
     the engine tie-break, scores rounded to SCORE_DECIMALS.
+
+    `candidates` (query_id, doc_id) restricts SCORING to those pairs via a
+    broadcast semi-join on the hit relation — the rescore second pass,
+    where only the first-pass window may be touched. Collection statistics
+    (cf, total_tokens, n_q) stay corpus-global regardless: a candidate
+    filter must change WHICH docs are scored, never what a score is worth.
     """
     qt = query_terms(queries)
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
@@ -507,6 +514,12 @@ def lm_dirichlet_brute(
         .agg(F.count(F.lit(1)).cast("double").alias("n_q"))
     )
     hits = tf.filter(F.col("term").isin(terms)).join(F.broadcast(qt), "term")
+    if candidates is not None:
+        hits = hits.join(
+            F.broadcast(candidates.select("query_id", "doc_id").distinct()),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
     scored = (
         hits.join(F.broadcast(cf), "term")
         .withColumn(
