@@ -1003,7 +1003,13 @@ class SegmentSearcher:
             .select("query_id", "rank", "doc_id", "score")
         )
 
-    def search_warm(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+    def search_warm(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 100,
+        min_match: int = 1,
+        dl_factor: str | None = None,
+    ) -> pd.DataFrame:
         """Serving-path variant: term posting rows are fetched ONCE per
         cold term (one Spark job with the IN-filter pushed to the scan) and
         cached on the handle; warm queries then run the SAME per-segment
@@ -1078,7 +1084,8 @@ class SegmentSearcher:
             )
             parts.append(
                 _maxscore_kernel(
-                    p, dl, base, n, tokenized, idf, self.avgdl, k, scale, deleted
+                    p, dl, base, n, tokenized, idf, self.avgdl, k, scale, deleted,
+                    min_match, dl_factor,
                 )
             )
         if not parts:

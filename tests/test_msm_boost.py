@@ -208,3 +208,20 @@ def test_function_score_index_vs_relational_dl_boost(spark, small_docs, small_in
     )
     assert _rows(rel) == _rows(idx)
     assert rel.count() > 0
+
+
+def test_search_warm_matches_search_msm_and_boost(spark, small_docs, small_index):
+    """The warm serving path must stay row-identical to the distributed
+    path under the new DSL modes (same kernel, driver-side)."""
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 10).collect()]
+    queries += [(900, "zz_oov_zz"), (901, "")]
+    s = SegmentSearcher(spark, small_index, persist=False)
+    for kw in ({"min_match": 2}, {"dl_factor": "log1p_dl"},
+               {"min_match": 2, "dl_factor": "log1p_dl"}):
+        a = _rows(s.search(queries, k=15, **kw))
+        b = sorted(
+            (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 6))
+            for r in s.search_warm(queries, k=15, **kw).itertuples()
+        )
+        assert a == b, kw
+        assert a  # modes must produce rows on this corpus
