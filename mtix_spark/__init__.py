@@ -13,13 +13,19 @@ Re-expresses the query & data-processing capabilities of the reference
 - ``mtix_spark.dedup``      — exact / n-gram-Jaccard / MinHash-LSH / SimHash
   deduplication.
 - ``mtix_spark.similarity`` — exact cosine top-k, multi-table sign-LSH ANN,
-  embedding near-dup pairs.
+  IVF ANN, embedding near-dup pairs.
+- ``mtix_spark.hybrid``     — hybrid lexical+vector retrieval via
+  reciprocal-rank fusion (relational and physical-index BM25 legs).
+- ``mtix_spark.expand``     — query expansion (wildcard/fuzzy/regexp/range/
+  synonyms/suggest/MLT) plus the scoring DSL: function score, dis_max,
+  minimum_should_match, top-window rescore.
 - ``mtix_spark.functions``  — tokenizer + text analysis + reference scalar
   parity ops, all pure Column expressions.
 - ``mtix_spark.sources``    — TSV dims, base64+zlib payload codec,
   PubMed-XML-style field extraction, MTI JSON sink.
 - ``mtix_spark.multimodal`` — binary media columns, Arrow-batched
-  decode/feature/frame plumbing (decoders stubbed).
+  decode/feature/frame kernels (real PNG/GIF/baseline-JPEG/WAV/AVI
+  decoders; compressed A/V codecs honestly stubbed).
 - ``mtix_spark.streaming``  — incremental index ingestion, watermarked
   window aggs, stateful sessionization.
 

@@ -54,6 +54,8 @@ def rrf_fuse(
     last ulp; the 6-decimal round makes that unobservable for RRF magnitudes
     (contributions >= 1/(k_rrf + L) apart by construction except true ties).
     """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one ranked run")
     if weights is None:
         weights = [1.0] * len(runs)
     if len(weights) != len(runs):

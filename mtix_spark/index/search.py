@@ -923,6 +923,12 @@ class SegmentSearcher:
         scores). `dl_factor` names a DL_FACTORS boost: FunctionScoreQuery
         with a doc-length field factor, ranked on the boosted score — both
         run through the boost/count-aware MaxScore kernel, pruning intact."""
+        if dl_factor is not None and dl_factor not in DL_FACTORS:
+            raise ValueError(
+                f"unknown dl_factor {dl_factor!r}; registered: {sorted(DL_FACTORS)}"
+            )
+        if min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
         per_seg = self._per_segment(queries, k, min_match=min_match, dl_factor=dl_factor)
         if per_seg is None:
             return self.spark.createDataFrame(
@@ -1021,6 +1027,12 @@ class SegmentSearcher:
         Cache footprint is only the terms this handle has served (never the
         vocabulary); doc lengths load per segment through the same
         `_DL_CACHE` the executors use."""
+        if dl_factor is not None and dl_factor not in DL_FACTORS:
+            raise ValueError(
+                f"unknown dl_factor {dl_factor!r}; registered: {sorted(DL_FACTORS)}"
+            )
+        if min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
         tokenized = self._tokenize_queries(queries)
         all_terms = sorted({t for _, ts in tokenized for t in ts})
         empty = pd.DataFrame(

@@ -175,3 +175,8 @@ def test_function_score_matches_pandas_recompute(spark, small_docs):
         )
     )
     assert got == sorted(expect)
+
+
+def test_rrf_empty_runs_rejected():
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -225,3 +225,13 @@ def test_search_warm_matches_search_msm_and_boost(spark, small_docs, small_index
         )
         assert a == b, kw
         assert a  # modes must produce rows on this corpus
+
+
+def test_dsl_parameter_validation(spark, small_index):
+    s = SegmentSearcher(spark, small_index, persist=False)
+    with pytest.raises(ValueError, match="unknown dl_factor"):
+        s.search([(1, "a")], k=5, dl_factor="nope")
+    with pytest.raises(ValueError, match="unknown dl_factor"):
+        s.search_warm([(1, "a")], k=5, dl_factor="nope")
+    with pytest.raises(ValueError, match="min_match"):
+        s.search([(1, "a")], k=5, min_match=0)
