@@ -382,6 +382,105 @@ def _maxscore_kernel(
     return pd.DataFrame(out)
 
 
+def _dismax_kernel(
+    postings: pd.DataFrame,
+    dl_by_doc: np.ndarray,
+    seg_base: int,
+    seg_n: int,
+    queries: list[tuple[int, list[str]]],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    tie: float,
+    bm_scale: float = 1.0,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """DisjunctionMaxQuery over one segment with MaxScore-style pruning:
+
+        score(d) = max_t c_t(d) + tie · (Σ_t c_t(d) − max_t c_t(d))
+
+    (the exact expression the relational twin and the SQL oracle compute —
+    algebraically (1−tie)·max + tie·sum, but kept in this operation order
+    so the doubles round identically). Both components are monotone in the
+    matched-term set for tie ∈ [0,1], so the usual θ lower-bound argument
+    carries. Terms process in UB-descending order; a doc first seen at term
+    i is bounded by (1−tie)·UB_i + tie·suffix_ub(i) (UB_i is the largest
+    remaining single-clause bound, suffix_ub the remaining sum bound) —
+    when that falls below the current k-th candidate score, no new doc can
+    enter the top-k and remaining lists only update existing candidates.
+    """
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    ubs: dict[str, float] = {}
+    for r in postings.itertuples(index=False):
+        ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+        tfs = decode_varint(r.tfs_bin).astype(np.float64)
+        if deleted is not None and deleted.size:
+            from mtix_spark.index.deletes import mask_deleted
+
+            keep = mask_deleted(ids, deleted)
+            ids, tfs = ids[keep], tfs[keep]
+        if ids.size == 0:
+            continue
+        bm = np.asarray(r.block_max_wtf, dtype=np.float64)
+        by_term[r.term] = (ids, tfs)
+        ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) * bm_scale if bm.size else 0.0
+
+    out = {"query_id": [], "doc_id": [], "score": []}
+    for qid, terms in queries:
+        terms = [t for t in terms if t in by_term and idf.get(t, 0.0) > 0.0]
+        if not terms:
+            continue
+        terms = sorted(terms, key=lambda t: (-ubs[t], t))
+        suffix_ub = np.cumsum([ubs[t] for t in terms][::-1])[::-1]
+        cand_local = np.empty(0, dtype=np.int64)
+        cand_sum = np.empty(0, dtype=np.float64)
+        cand_max = np.empty(0, dtype=np.float64)
+        restricted = False
+        for i, t in enumerate(terms):
+            ids, tfs = by_term[t]
+            if not restricted and i > 0 and cand_local.size >= k:
+                cur = cand_max + tie * (cand_sum - cand_max)
+                theta = np.partition(cur, cur.size - k)[cur.size - k]
+                bound = (1.0 - tie) * ubs[t] + tie * suffix_ub[i]
+                if bound < theta:
+                    restricted = True
+            local = ids - seg_base
+            w = idf[t] * tfs * (K1 + 1.0) / (
+                tfs + K1 * (1.0 - B + B * dl_by_doc[local] / avgdl)
+            )
+            if restricted:
+                pos = np.searchsorted(cand_local, local)
+                pos_c = np.minimum(pos, cand_local.size - 1)
+                hit = cand_local[pos_c] == local
+                cand_sum[pos_c[hit]] += w[hit]
+                np.maximum.at(cand_max, pos_c[hit], w[hit])
+            else:
+                merged = np.unique(np.concatenate([cand_local, local]))
+                idx_old = np.searchsorted(merged, cand_local)
+                idx_new = np.searchsorted(merged, local)
+                new_sum = np.zeros(merged.size, dtype=np.float64)
+                new_sum[idx_old] = cand_sum
+                new_sum[idx_new] += w
+                new_max = np.zeros(merged.size, dtype=np.float64)
+                new_max[idx_old] = cand_max
+                np.maximum.at(new_max, idx_new, w)
+                cand_local, cand_sum, cand_max = merged, new_sum, new_max
+        if cand_local.size == 0:
+            continue
+        final = np.round(
+            cand_max + tie * (cand_sum - cand_max), SCORE_DECIMALS
+        )
+        kk = min(k, cand_local.size)
+        part = np.argpartition(-final, kk - 1)[:kk]
+        cand = np.flatnonzero(final >= final[part].min())
+        order = np.lexsort((cand_local[cand], -final[cand]))
+        top = cand[order][:kk]
+        out["query_id"].extend([qid] * top.size)
+        out["doc_id"].extend((cand_local[top] + seg_base).tolist())
+        out["score"].extend(final[top].tolist())
+    return pd.DataFrame(out)
+
+
 def bm25f_topk(
     docs: DataFrame,
     fields: dict[str, float],
@@ -847,6 +946,7 @@ class SegmentSearcher:
         term_weights: dict[str, float] | None = None,
         min_match: int = 1,
         dl_factor: str | None = None,
+        dis_max_tie: float | None = None,
     ) -> DataFrame | None:
         """Per-segment candidate top-k frame, or None if no query term has
         a positive idf (OOV/empty queries). `term_weights` multiplies a
@@ -899,6 +999,11 @@ class SegmentSearcher:
                 from mtix_spark.index.deletes import load_deleted
 
                 deleted = load_deleted(del_root, seg, del_epoch)
+            if dis_max_tie is not None:
+                return _dismax_kernel(
+                    p, dl, base, n, tokenized, idf, avgdl, k, dis_max_tie,
+                    scale, deleted,
+                )
             return _maxscore_kernel(
                 p, dl, base, n, tokenized, idf, avgdl, k, scale, deleted,
                 min_match, dl_factor,
@@ -930,6 +1035,30 @@ class SegmentSearcher:
         if min_match < 1:
             raise ValueError(f"min_match must be >= 1, got {min_match}")
         per_seg = self._per_segment(queries, k, min_match=min_match, dl_factor=dl_factor)
+        if per_seg is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_seg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def search_dis_max(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 100,
+        tie_breaker: float = 0.3,
+    ) -> DataFrame:
+        """DisjunctionMaxQuery top-k over the query's term clauses: best
+        clause + tie_breaker × remainder (`_dismax_kernel`, max-aware
+        pruning bounds). Rank-identical to the relational
+        `expand.dis_max_topk` on the same ids — they share one oracle."""
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+        per_seg = self._per_segment(queries, k, dis_max_tie=float(tie_breaker))
         if per_seg is None:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"

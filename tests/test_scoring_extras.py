@@ -165,3 +165,72 @@ def test_significant_terms_matches_pandas_jlh(spark, small_docs):
     # the foreground term itself is maximally overrepresented -> rank 1
     top = out.orderBy(F.desc("score"), F.asc("term")).first()
     assert top["term"] == fg_term
+
+
+def test_dismax_kernel_restricted_phase_vs_brute():
+    """Adversarial layout for the max-aware bound: one huge-UB clause and
+    several mid clauses whose SUM beats the max clause only when tie is
+    high — brute recompute is ground truth at both tie extremes and 0.3."""
+    from mtix_spark.index.build import B as B_, BLOCK_SIZE, K1 as K1_
+    from mtix_spark.index.codec import delta_encode, encode_varint
+    from mtix_spark.index.search import SCORE_DECIMALS, _dismax_kernel
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    dl = np.full(n, 80.0)
+    avgdl = 80.0
+    terms_docs = {"big": (np.sort(rng.choice(n, 40, replace=False)), rng.integers(3, 6, 40))}
+    for t in ["m1", "m2", "m3", "m4"]:
+        ids = np.sort(rng.choice(n, 600, replace=False))
+        terms_docs[t] = (ids, rng.integers(1, 4, 600))
+    idf = {"big": 5.0, "m1": 1.1, "m2": 1.0, "m3": 0.9, "m4": 0.8}
+
+    def brute(tie):
+        acc, mx = {}, {}
+        for t, (ids, tfs) in terms_docs.items():
+            for d, tf in zip(ids, tfs):
+                w = idf[t] * tf * (K1_ + 1.0) / (
+                    tf + K1_ * (1.0 - B_ + B_ * dl[d] / avgdl)
+                )
+                acc[d] = acc.get(d, 0.0) + w
+                mx[d] = max(mx.get(d, 0.0), w)
+        out = [
+            (d, round(mx[d] + tie * (acc[d] - mx[d]), SCORE_DECIMALS)) for d in acc
+        ]
+        return sorted(out, key=lambda x: (-x[1], x[0]))
+
+    rows = []
+    for t, (ids, tfs) in terms_docs.items():
+        nb = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+        rows.append(
+            {
+                "term": t,
+                "doc_ids_bin": delta_encode(np.asarray(ids, dtype=np.uint64)),
+                "tfs_bin": encode_varint(np.asarray(tfs, dtype=np.uint64)),
+                "block_max_wtf": np.full(nb, 8.0, np.float32),
+            }
+        )
+    postings = pd.DataFrame(rows)
+    for tie in (0.0, 0.3, 1.0):
+        out = _dismax_kernel(
+            postings, dl, 0, n, [(1, sorted(terms_docs))], idf, avgdl, 8, tie
+        )
+        got = [(int(d), s) for d, s in zip(out["doc_id"], out["score"])]
+        assert got == brute(tie)[:8], f"tie={tie}"
+
+
+def test_dis_max_index_vs_relational(spark, small_docs, small_index, queries):
+    from mtix_spark.index.search import SegmentSearcher
+
+    rel = dis_max_topk(
+        small_docs, queries, tie_breaker=0.3, k=8, text_col="content"
+    )
+    idx = SegmentSearcher(spark, small_index, persist=False).search_dis_max(
+        queries, k=8, tie_breaker=0.3
+    )
+    assert _rows(rel) == _rows(idx)
+    assert rel.count() > 0
+    with pytest.raises(ValueError, match="tie_breaker"):
+        SegmentSearcher(spark, small_index, persist=False).search_dis_max(
+            queries, tie_breaker=1.5
+        )
