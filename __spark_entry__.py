@@ -1381,6 +1381,71 @@ def _dis_max_oracle() -> str:
     )
 
 
+MM_FIELDS = ["text", "source"]
+
+
+def _mm_terms() -> list[tuple[int, str]]:
+    return [
+        (q, t)
+        for q, text in BM25F_QUERIES
+        for t in sorted({x for x in re.split("[^a-z0-9_]+", text.lower()) if x})
+    ]
+
+
+def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields over (text, source): each field scored as an
+    independent BM25 query (per-field stats — NOT BM25F's pre-saturation
+    combine), doc score = best field + 0.3 × remainder."""
+    from mtix_spark.expand import multi_match_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = multi_match_topk(
+        docs, MM_FIELDS, BM25F_QUERIES, mode="best_fields",
+        tie_breaker=DIS_MAX_TIE, k=TOPK,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match most_fields: sum of the per-field BM25 scores."""
+    from mtix_spark.expand import multi_match_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = multi_match_topk(
+        docs, MM_FIELDS, BM25F_QUERIES, mode="most_fields", k=TOPK
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _multi_match_oracle(mode: str) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _mm_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    legs = {
+        f: _expanded_bm25_oracle(cte, k=None, text_col=f) for f in MM_FIELDS
+    }
+    if mode == "most_fields":
+        comb = "round(sum(score), 6)"
+    else:
+        comb = f"round(max(score) + {DIS_MAX_TIE} * (sum(score) - max(score)), 6)"
+    return f"""
+WITH lt AS ({legs['text']}),
+ls AS ({legs['source']}),
+contrib AS (SELECT * FROM lt UNION ALL SELECT * FROM ls),
+comb AS (
+  SELECT query_id, doc_id, {comb} AS score FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM comb
+) WHERE rank <= {TOPK}
+"""
+
+
 def q_dis_max_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dis_max from the PHYSICAL index: `_dismax_kernel` processes clauses
     UB-descending and bounds an unseen doc by (1−tie)·UB_i + tie·suffix_ub
@@ -2868,8 +2933,9 @@ def _expanded_bm25_oracle(
     page: int = 1,
     boost_expr: str = "",
     min_match: int = 1,
-    k: int = TOPK,
+    k: int | None = TOPK,
     agg_sql: str = "",
+    text_col: str = "text",
 ) -> str:
     """Shared oracle body: `exp(query_id, term)` CTE supplied by the caller;
     BM25 with per-term idf over the expanded disjunction — the SQL twin of
@@ -2882,10 +2948,13 @@ def _expanded_bm25_oracle(
     only docs matching that many distinct expanded terms (the scored group
     has one row per matched term, so it is a HAVING count) — the
     minimum_should_match twin. `k` overrides the per-page rank cut (the
-    rescore first-pass window). `agg_sql` replaces the disjunctive sum with
-    another aggregate over the per-term contribution `{C}` (the dis_max
-    twin: max + tie-broken remainder)."""
-    toks = TOK.format(c="text")
+    rescore first-pass window); k=None emits the UNRANKED scored relation
+    (query_id, doc_id, score) for composition (multi_match field legs).
+    `agg_sql` replaces the disjunctive sum with another aggregate over the
+    per-term contribution `{C}` (the dis_max twin: max + tie-broken
+    remainder). `text_col` picks the scored field (per-field tf/dl/avgdl/df
+    — the multi_match per-field leg)."""
+    toks = TOK.format(c=text_col)
     contrib = (
         f"ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))\n"
         f"           * (tf.tf * {K1 + 1.0})\n"
@@ -2894,6 +2963,16 @@ def _expanded_bm25_oracle(
     agg = agg_sql.format(C=contrib) if agg_sql else f"sum({contrib})"
     having = f"\n  HAVING count(*) >= {min_match}" if min_match > 1 else ""
     boost_cte, rank_src = "", "scored"
+    if k is None:
+        tail = "\nSELECT query_id, doc_id, score FROM {src}\n"
+    else:
+        tail = f"""
+SELECT query_id, rank - {(page - 1) * k} AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM {{src}}
+) WHERE rank > {(page - 1) * k} AND rank <= {page * k}
+"""
     if boost_expr:
         boost_cte = f""",
 boosted AS (
@@ -2928,12 +3007,7 @@ scored AS (
   {scored_where}
   GROUP BY 1, 2{having}
 ){boost_cte}
-SELECT query_id, rank - {(page - 1) * k} AS rank, doc_id, score FROM (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-  FROM {rank_src}
-) WHERE rank > {(page - 1) * k} AND rank <= {page * k}
-"""
+{tail.format(src=rank_src)}"""
 
 
 def _wildcard_oracle() -> str:
@@ -3238,6 +3312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_match_index": q_min_match_index,
         "dis_max": q_dis_max,
         "dis_max_index": q_dis_max_index,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
         "rescore": q_rescore,
         "significant_terms": q_significant_terms,
         # r01-era re-proof cross-section
@@ -3274,15 +3350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        # ---- end of the driver's 50-key gate window (ends at tpch_q6) ----
+        # ---- end of the driver's 50-key gate window (ends at tpch_q4) ----
         # displaced by the r04 additions (duplicate_spans/scrub_spans/
         # hybrid_rrf/hybrid_rrf_index/function_score/function_score_index/
         # min_match/min_match_index/dis_max/rescore/significant_terms) —
         # every displaced key below is driver-green in r01/r02 AND was
         # re-verified green across the full registry in r03 (VERDICT r3),
         # same precedent as threshold_topn in earlier rotations
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
@@ -3843,6 +3919,8 @@ FROM k
         "min_match_index": _min_match_oracle(),
         "dis_max": _dis_max_oracle(),
         "dis_max_index": _dis_max_oracle(),
+        "multi_match_best": _multi_match_oracle("best_fields"),
+        "multi_match_most": _multi_match_oracle("most_fields"),
         "rescore": _rescore_oracle(),
         "significant_terms": _significant_terms_oracle(),
     }

@@ -64,7 +64,8 @@ SUITE = [
     # r04 query-DSL additions — the index-backed variants exercise the
     # count-aware / boost-aware MaxScore kernel and the RRF fusion path
     "hybrid_rrf_index", "function_score_index", "min_match_index",
-    "dis_max", "dis_max_index", "rescore", "significant_terms",
+    "dis_max", "dis_max_index", "multi_match_best", "rescore",
+    "significant_terms",
 ]
 
 

@@ -741,6 +741,8 @@ def dis_max_topk(
     shuffle, identical candidate set, so the physical plan shape (and the
     10^12-doc cost model) is unchanged. Rounded to 6, tie-break score DESC
     / doc_id ASC."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     spark = docs.sparkSession
     rows = [
         (qid, t)
@@ -759,6 +761,69 @@ def dis_max_topk(
             ).alias("score")
         )
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def multi_match_topk(
+    docs: DataFrame,
+    fields: list[str],
+    queries: list[tuple[int, str]],
+    mode: str = "best_fields",
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch multi_match: the SAME query string scored against each
+    field as an independent BM25 query (per-field tf, dl, avgdl, df/idf —
+    unlike BM25F, which combines tf across fields BEFORE saturation), then
+    per doc:
+
+        best_fields : max_f s_f + tie_breaker · (Σ_f s_f − max_f s_f)
+        most_fields : Σ_f s_f
+
+    Plan shape: one expanded-BM25 leg per field (each the standard pushed-
+    down term fetch), legs unioned and combined by ONE (query, doc)
+    aggregation — the union is bounded by the fields' matched sets, and
+    with a handful of fields the cost class is a single disjunctive query
+    per field. Per-field scores round to 6 before combining (each leg is
+    an engine-boundary quantity), final score re-rounds — the SQL twin
+    mirrors both roundings. Returns (query_id, rank, doc_id, score)."""
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"mode must be best_fields|most_fields, got {mode!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    spark = docs.sparkSession
+    rows = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
+    ]
+    exp = spark.createDataFrame(rows, "query_id long, term string")
+    legs = [
+        expanded_bm25(docs, exp, k=2**31 - 1, id_col=id_col, text_col=f).select(
+            "query_id", "doc_id", "score"
+        )
+        for f in fields
+    ]
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    if mode == "most_fields":
+        comb = F.round(F.sum("score"), SCORE_DECIMALS)
+    else:
+        comb = F.round(
+            F.max("score")
+            + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score")),
+            SCORE_DECIMALS,
+        )
+    scored = allc.groupBy("query_id", "doc_id").agg(comb.alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -234,3 +234,56 @@ def test_dis_max_index_vs_relational(spark, small_docs, small_index, queries):
         SegmentSearcher(spark, small_index, persist=False).search_dis_max(
             queries, tie_breaker=1.5
         )
+
+
+def test_multi_match_modes_and_recompute(spark, small_docs):
+    """best_fields(tie=1) ≡ most_fields; most_fields equals the pandas sum
+    of the per-field expanded-BM25 legs (rounded per leg, re-rounded)."""
+    from mtix_spark.expand import multi_match_topk
+
+    queries = [(1, "index_merge hash_tree"), (2, "save push query12")]
+    fields = ["content", "lang"]
+    bf1 = _rows(
+        multi_match_topk(
+            small_docs, fields, queries, mode="best_fields", tie_breaker=1.0, k=10
+        )
+    )
+    mf = _rows(
+        multi_match_topk(small_docs, fields, queries, mode="most_fields", k=10)
+    )
+    assert bf1 == mf and mf
+    exp = _query_expansion(spark, queries)
+    legs = [
+        expanded_bm25(small_docs, exp, k=2**31 - 1, text_col=f).toPandas()
+        for f in fields
+    ]
+    comb = (
+        pd.concat(legs)[["query_id", "doc_id", "score"]]
+        .groupby(["query_id", "doc_id"], as_index=False)
+        .agg(s=("score", "sum"), m=("score", "max"))
+    )
+    comb["best"] = np.round(comb["m"] + 0.3 * (comb["s"] - comb["m"]), 6)
+    comb["most"] = np.round(comb["s"], 6)
+    for mode, col in (("best_fields", "best"), ("most_fields", "most")):
+        expect = []
+        for qid, g in comb.groupby("query_id"):
+            g = g.sort_values([col, "doc_id"], ascending=[False, True]).head(10)
+            for rank, (_, row) in enumerate(g.iterrows(), 1):
+                expect.append((qid, rank, int(row["doc_id"]), row[col]))
+        got = _rows(
+            multi_match_topk(
+                small_docs, fields, queries, mode=mode, tie_breaker=0.3, k=10
+            )
+        )
+        assert got == sorted(expect), mode
+
+
+def test_multi_match_validation(spark, small_docs):
+    from mtix_spark.expand import multi_match_topk
+
+    with pytest.raises(ValueError, match="mode"):
+        multi_match_topk(small_docs, ["content"], [(1, "a")], mode="x")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_topk(small_docs, ["content"], [(1, "a")], tie_breaker=2.0)
+    with pytest.raises(ValueError, match="at least one field"):
+        multi_match_topk(small_docs, [], [(1, "a")])
