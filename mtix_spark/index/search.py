@@ -1245,13 +1245,25 @@ class SegmentSearcher:
              "score": "float64"}
         )
 
-    def search_topk(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+    def search_topk(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 100,
+        min_match: int = 1,
+        dl_factor: str | None = None,
+    ) -> pd.DataFrame:
         """Latency-path variant: per-segment candidates collect to the
         driver (≤ n_segments × k × n_queries tiny rows) and merge there —
         one Spark job, no window exchange stage. Same results as
-        `search()` (same kernel, same tie-break); returns a pandas frame
-        (query_id, rank, doc_id, score)."""
-        per_seg = self._per_segment(queries, k)
+        `search()` (same kernel, same tie-break, same DSL modes); returns
+        a pandas frame (query_id, rank, doc_id, score)."""
+        if dl_factor is not None and dl_factor not in DL_FACTORS:
+            raise ValueError(
+                f"unknown dl_factor {dl_factor!r}; registered: {sorted(DL_FACTORS)}"
+            )
+        if min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
+        per_seg = self._per_segment(queries, k, min_match=min_match, dl_factor=dl_factor)
         if per_seg is None:
             return pd.DataFrame(
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}

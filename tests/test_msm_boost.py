@@ -235,3 +235,17 @@ def test_dsl_parameter_validation(spark, small_index):
         s.search_warm([(1, "a")], k=5, dl_factor="nope")
     with pytest.raises(ValueError, match="min_match"):
         s.search([(1, "a")], k=5, min_match=0)
+
+
+def test_search_topk_matches_search_msm_and_boost(spark, small_index):
+    """The latency path (driver merge) must also stay row-identical to the
+    distributed path under the DSL modes."""
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 8).collect()]
+    s = SegmentSearcher(spark, small_index, persist=False)
+    for kw in ({"min_match": 2}, {"dl_factor": "log1p_dl"}):
+        a = _rows(s.search(queries, k=12, **kw))
+        b = sorted(
+            (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 6))
+            for r in s.search_topk(queries, k=12, **kw).itertuples()
+        )
+        assert a == b and a, kw
