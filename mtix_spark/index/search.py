@@ -1466,11 +1466,28 @@ class MergedSearcher:
             self._terms[r["term"]] = (ids, tfs, int(r["df"]))
         self._terms.evict(pinned=terms)
 
-    def search(self, queries: list[tuple[int, str]], k: int = 100) -> pd.DataFrame:
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 100,
+        min_match: int = 1,
+        dl_factor: str | None = None,
+    ) -> pd.DataFrame:
+        """`min_match` / `dl_factor` carry the same DSL semantics as
+        SegmentSearcher.search; this path accumulates exhaustively (no
+        pruning), so the filter is a count mask over the unique candidate
+        ids and the boost a post-round multiply against the lazily-loaded
+        dl blocks — identical results to the segment path (tested)."""
         import re
 
         from mtix_spark.functions.text import TOKEN_SPLIT_RE
 
+        if dl_factor is not None and dl_factor not in DL_FACTORS:
+            raise ValueError(
+                f"unknown dl_factor {dl_factor!r}; registered: {sorted(DL_FACTORS)}"
+            )
+        if min_match < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
         tokenized = [
             (qid, sorted({t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t}))
             for qid, text in queries
@@ -1511,18 +1528,38 @@ class MergedSearcher:
             uniq, inv = np.unique(ids, return_inverse=True)
             acc = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(acc, inv, contrib)
+            if min_match > 1:
+                cnt = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(cnt, inv, 1)  # ids unique per term → term count
+                keep = cnt >= min_match
+                uniq, acc = uniq[keep], acc[keep]
+                if uniq.size == 0:
+                    continue
+            if dl_factor is not None:
+                final = np.round(
+                    np.round(acc, SCORE_DECIMALS)
+                    * DL_FACTORS[dl_factor](self._dl_for(uniq).astype(np.float64)),
+                    SCORE_DECIMALS,
+                )
+            else:
+                final = acc
             kk = min(k, uniq.size)
-            part = np.argpartition(-acc, kk - 1)[:kk]
+            part = np.argpartition(-final, kk - 1)[:kk]
             # argpartition picks ARBITRARY members of a tied class at the
             # boundary; widen to every boundary tie, then break ties
             # deterministically (score DESC, doc_id ASC) before cutting
-            cand = np.flatnonzero(acc >= acc[part].min())
-            order = np.lexsort((uniq[cand], -acc[cand]))
+            cand = np.flatnonzero(final >= final[part].min())
+            order = np.lexsort((uniq[cand], -final[cand]))
             top = cand[order][:kk]
             out["query_id"].extend([qid] * kk)
             out["rank"].extend(range(1, kk + 1))
             out["doc_id"].extend(uniq[top].tolist())
-            out["score"].extend(np.round(acc[top], SCORE_DECIMALS).tolist())
+            scores = (
+                final[top]
+                if dl_factor is not None
+                else np.round(acc[top], SCORE_DECIMALS)
+            )
+            out["score"].extend(scores.tolist())
         return pd.DataFrame(out).astype(
             {"query_id": "int64", "rank": "int64", "doc_id": "int64",
              "score": "float64"}

@@ -249,3 +249,28 @@ def test_search_topk_matches_search_msm_and_boost(spark, small_index):
             for r in s.search_topk(queries, k=12, **kw).itertuples()
         )
         assert a == b and a, kw
+
+
+def test_merged_searcher_msm_and_boost_matches_segment_path(
+    spark, small_docs, small_index
+):
+    """The merged-list serving path (exhaustive accumulation) must agree
+    row-for-row with the segment MaxScore path under both DSL modes —
+    the pruned and unpruned engines share one answer."""
+    from mtix_spark.index.build import merge_postings
+    from mtix_spark.index.search import MergedSearcher
+
+    merge_postings(spark, small_index, hot_df=50, n_salt=4)
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 10).collect()]
+    seg = SegmentSearcher(spark, small_index, persist=False)
+    ms = MergedSearcher(spark, small_index)
+    for kw in ({"min_match": 2}, {"dl_factor": "log1p_dl"},
+               {"min_match": 2, "dl_factor": "log1p_dl"}):
+        a = _rows(seg.search(queries, k=12, **kw))
+        b = sorted(
+            (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 6))
+            for r in ms.search(queries, k=12, **kw).itertuples()
+        )
+        assert a == b and a, kw
+    with pytest.raises(ValueError, match="unknown dl_factor"):
+        ms.search(queries, dl_factor="nope")
