@@ -2,9 +2,13 @@
 
     spark-submit --py-files mtix_spark.zip scripts/query_submit.py \
         --index <index dir> --queries <json file: [[id, "text"], ...]> \
-        [--k 100] [--output <parquet dir>]
+        [--k 100] [--output <parquet dir>] \
+        [--min-match M] [--dl-factor log1p_dl] [--dis-max-tie T]
 
 Prints per-query latency stats (p50/p95) and writes results if --output.
+--min-match / --dl-factor run the count-aware / boost-aware MaxScore
+kernel; --dis-max-tie switches to DisjunctionMax scoring (mutually
+exclusive with the other two — dis_max is its own kernel).
 """
 
 from __future__ import annotations
@@ -21,7 +25,12 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--output")
     ap.add_argument("--per-query-latency", action="store_true")
+    ap.add_argument("--min-match", type=int, default=1)
+    ap.add_argument("--dl-factor")
+    ap.add_argument("--dis-max-tie", type=float)
     args = ap.parse_args()
+    if args.dis_max_tie is not None and (args.min_match > 1 or args.dl_factor):
+        ap.error("--dis-max-tie cannot combine with --min-match/--dl-factor")
 
     from pyspark.sql import SparkSession
 
@@ -34,8 +43,16 @@ def main() -> None:
 
     searcher = SegmentSearcher(spark, IndexPaths(args.index))
     searcher.search(qset[:1], k=1).collect()  # warm
+    if args.dis_max_tie is not None:
+        def run(qs, k):
+            return searcher.search_dis_max(qs, k=k, tie_breaker=args.dis_max_tie)
+    else:
+        def run(qs, k):
+            return searcher.search(
+                qs, k=k, min_match=args.min_match, dl_factor=args.dl_factor
+            )
     t0 = time.time()
-    res = searcher.search(qset, k=args.k)
+    res = run(qset, args.k)
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -49,7 +66,13 @@ def main() -> None:
         lat = []
         for q in qset[: min(len(qset), 20)]:
             t1 = time.time()
-            searcher.search_topk([q], k=args.k)
+            if args.dis_max_tie is not None:
+                searcher.search_dis_max([q], k=args.k,
+                                        tie_breaker=args.dis_max_tie).collect()
+            else:
+                searcher.search_topk([q], k=args.k,
+                                     min_match=args.min_match,
+                                     dl_factor=args.dl_factor)
             lat.append((time.time() - t1) * 1000)
         lat.sort()
         stats["p50_ms"] = round(lat[len(lat) // 2], 1)
