@@ -52,14 +52,18 @@ from mtix_spark.session import get_spark
 SUITE = [
     "tf_postings", "term_dict", "bm25_topk", "token_count", "language_id",
     "quality_score", "dedup_exact", "minhash_lsh", "simhash",
-    "simhash_pairs", "knn_cosine", "knn_lsh", "embed_near_dup_lsh",
+    # knn_lsh/embed_near_dup_lsh/knn_ivf were renamed to *_probe in r05 when
+    # the unsuffixed keys flipped to exact probe-everything oracle modes —
+    # these benchmark the SAME production approximate configs as the r01-r04
+    # rows of the same workload (movement table maps old name -> _probe)
+    "simhash_pairs", "knn_cosine", "knn_lsh_probe", "embed_near_dup_lsh_probe",
     "topn_per_key",
     "run_fusion", "dim_join_revenue", "tpch_q1", "tpch_q3", "tpch_q6",
     "rollup_counts", "events_tumbling", "mti_pipeline",
     "wildcard_topk", "fuzzy_topk", "regexp_topk", "synonym_topk",
     "lm_dirichlet_topk", "near_match", "boolean_search",
     "pack_sequences", "training_order", "tfidf_vectors", "date_histogram",
-    "gopher_repetition", "pii_scrub", "boilerplate_ngrams", "knn_ivf",
+    "gopher_repetition", "pii_scrub", "boilerplate_ngrams", "knn_ivf_probe",
     "dedup_clusters_star", "split_docs", "duplicate_spans", "scrub_spans",
     # r04 query-DSL additions — the index-backed variants exercise the
     # count-aware / boost-aware MaxScore kernel and the RRF fusion path

@@ -29,9 +29,21 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mtix_spark.functions.text import tokenize
+from mtix_spark.functions.text import TOKEN_SPLIT_RE, tokenize
 from mtix_spark.index.build import B, K1
 from mtix_spark.index.search import SCORE_DECIMALS
+
+
+def _expand_query_terms(spark, queries) -> DataFrame:
+    """(query_id, term) relation — distinct sorted terms per query, split by
+    the SAME regex as the index tokenizer (functions.text.TOKEN_SPLIT_RE) so
+    query-side analysis can never desynchronize from what was indexed."""
+    rows = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted({w for w in re.split(TOKEN_SPLIT_RE, text.lower()) if w})
+    ]
+    return spark.createDataFrame(rows, "query_id long, term string")
 
 
 def wildcard_to_like(pattern: str) -> str:
@@ -698,12 +710,7 @@ def function_score_topk(
     doc_id ASC after the boost is applied.
     """
     spark = docs.sparkSession
-    rows = [
-        (qid, t)
-        for qid, text in queries
-        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
-    ]
-    exp = spark.createDataFrame(rows, "query_id long, term string")
+    exp = _expand_query_terms(spark, queries)
     base = expanded_bm25(docs, exp, k=2**31 - 1, id_col=id_col, text_col=text_col)
     fac = docs.select(
         F.col(id_col).alias("doc_id"), factor.cast("double").alias("__factor")
@@ -744,12 +751,7 @@ def dis_max_topk(
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     spark = docs.sparkSession
-    rows = [
-        (qid, t)
-        for qid, text in queries
-        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
-    ]
-    exp = spark.createDataFrame(rows, "query_id long, term string")
+    exp = _expand_query_terms(spark, queries)
     scored = (
         _term_contribs(docs, exp, id_col, text_col)
         .groupBy("query_id", "doc_id")
@@ -800,12 +802,7 @@ def multi_match_topk(
     if not fields:
         raise ValueError("multi_match needs at least one field")
     spark = docs.sparkSession
-    rows = [
-        (qid, t)
-        for qid, text in queries
-        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
-    ]
-    exp = spark.createDataFrame(rows, "query_id long, term string")
+    exp = _expand_query_terms(spark, queries)
     legs = [
         expanded_bm25(docs, exp, k=2**31 - 1, id_col=id_col, text_col=f).select(
             "query_id", "doc_id", "score"
@@ -861,12 +858,7 @@ def rescore_topk(
     from mtix_spark.index.search import lm_dirichlet_brute
 
     spark = docs.sparkSession
-    rows = [
-        (qid, t)
-        for qid, text in queries
-        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
-    ]
-    exp = spark.createDataFrame(rows, "query_id long, term string")
+    exp = _expand_query_terms(spark, queries)
     first = expanded_bm25(docs, exp, k=window, id_col=id_col, text_col=text_col)
 
     tf = (

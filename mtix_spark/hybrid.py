@@ -24,7 +24,6 @@ double addition — no order sensitivity.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,13 +87,12 @@ def _query_expansion(
     spark: SparkSession, queries: Sequence[tuple[int, str]]
 ) -> DataFrame:
     """(query_id, term) relation — distinct sorted terms per query, the same
-    dedup discipline as index.search.query_terms."""
-    rows = [
-        (qid, t)
-        for qid, text in queries
-        for t in sorted({w for w in re.split("[^a-z0-9_]+", text.lower()) if w})
-    ]
-    return spark.createDataFrame(rows, "query_id long, term string")
+    dedup discipline as index.search.query_terms. Delegates to the shared
+    expand helper so the tokenizer regex (functions.text.TOKEN_SPLIT_RE) has
+    exactly one query-side definition."""
+    from mtix_spark.expand import _expand_query_terms
+
+    return _expand_query_terms(spark, queries)
 
 
 def hybrid_rrf_topk(
@@ -158,7 +156,9 @@ def hybrid_rrf_index(
     from mtix_spark.index.search import bm25_topk_segments
     from mtix_spark.similarity import knn_cosine_brute
 
-    margin = max(4 * leg_k, leg_k + 30)
+    # same tie-margin convention as __spark_entry__._remap_rerank (k*5),
+    # floored at leg_k+30 so tiny leg_k still over-fetches a full tie class
+    margin = max(5 * leg_k, leg_k + 30)
     lex = bm25_topk_segments(spark, paths, list(queries), k=margin)
     if id_map is not None:
         lex = (

@@ -41,8 +41,11 @@ SCORE_DECIMALS = 6  # cross-engine float stability for rank + hash comparison
 # Named per-document boost factors over the stored doc length (the one
 # per-doc field the index already serves executor-locally) — referenced by
 # NAME so the applyInPandas kernel closure stays small and picklable.
-# Every factor must be nonnegative so UB·max(f) stays a sound MaxScore
-# bound (see _maxscore_kernel's dl_factor contract).
+# Every factor must be nonnegative AND monotone nondecreasing in dl:
+# nonnegativity makes UB·max(f) a sound MaxScore bound, and monotonicity
+# lets the kernel derive that segment max as f(max dl) without evaluating
+# f over the whole doc-length array (see _maxscore_kernel's dl_factor
+# contract — register a non-monotone factor and the pruning bound breaks).
 DL_FACTORS: dict = {"log1p_dl": np.log1p}
 
 
@@ -287,11 +290,17 @@ def _maxscore_kernel(
         by_term[r.term] = (ids, tfs, bm)
         ubs[r.term] = idf.get(r.term, 0.0) * float(bm.max()) * bm_scale if bm.size else 0.0
 
-    fac = None
+    fac_fn = None
     fac_max = 1.0
     if dl_factor is not None:
-        fac = DL_FACTORS[dl_factor](dl_by_doc.astype(np.float64))
-        fac_max = float(fac.max()) if fac.size else 1.0
+        fac_fn = DL_FACTORS[dl_factor]
+        # registered factors are monotone nondecreasing (DL_FACTORS contract),
+        # so the segment-wide bound is f(max dl) — no full-segment float64
+        # materialization or f() pass per (segment, query-batch); f only ever
+        # evaluates on touched candidate locals below (ADVICE r4)
+        fac_max = (
+            float(fac_fn(np.float64(dl_by_doc.max()))) if dl_by_doc.size else 1.0
+        )
 
     out = {"query_id": [], "doc_id": [], "score": []}
     for qid, terms in queries:
@@ -321,8 +330,10 @@ def _maxscore_kernel(
                         q_ids = cand_local[sel]
                     else:
                         q, q_ids = cand_acc, cand_local
-                    if fac is not None:
-                        q = q * fac[q_ids]
+                    if fac_fn is not None:
+                        # candidates only — bounded by touched postings,
+                        # never segment size
+                        q = q * fac_fn(dl_by_doc[q_ids].astype(np.float64))
                     if q.size >= k:
                         theta = np.partition(q, q.size - k)[q.size - k]
                         if suffix_ub[i] * fac_max < theta:
@@ -357,11 +368,13 @@ def _maxscore_kernel(
             cand_local, cand_acc = cand_local[qual], cand_acc[qual]
         if cand_local.size == 0:
             continue
-        if fac is not None:
+        if fac_fn is not None:
             # match the relational/oracle twin's double rounding exactly:
             # the base BM25 sum is a 6-decimal quantity BEFORE the boost
             final = np.round(
-                np.round(cand_acc, SCORE_DECIMALS) * fac[cand_local], SCORE_DECIMALS
+                np.round(cand_acc, SCORE_DECIMALS)
+                * fac_fn(dl_by_doc[cand_local].astype(np.float64)),
+                SCORE_DECIMALS,
             )
         else:
             final = cand_acc
@@ -377,7 +390,7 @@ def _maxscore_kernel(
         top = cand[order][:kk]
         out["query_id"].extend([qid] * top.size)
         out["doc_id"].extend((cand_local[top] + seg_base).tolist())
-        scores = final[top] if fac is not None else np.round(cand_acc[top], SCORE_DECIMALS)
+        scores = final[top] if fac_fn is not None else np.round(cand_acc[top], SCORE_DECIMALS)
         out["score"].extend(scores.tolist())
     return pd.DataFrame(out)
 
@@ -1251,19 +1264,37 @@ class SegmentSearcher:
         k: int = 100,
         min_match: int = 1,
         dl_factor: str | None = None,
+        dis_max_tie: float | None = None,
     ) -> pd.DataFrame:
         """Latency-path variant: per-segment candidates collect to the
         driver (≤ n_segments × k × n_queries tiny rows) and merge there —
         one Spark job, no window exchange stage. Same results as
         `search()` (same kernel, same tie-break, same DSL modes); returns
-        a pandas frame (query_id, rank, doc_id, score)."""
+        a pandas frame (query_id, rank, doc_id, score).
+
+        `dis_max_tie` switches to the DisjunctionMax kernel (same semantics
+        as `search_dis_max`, driver-side merge) so per-query latency probes
+        measure the SAME execution shape across all DSL modes (ADVICE r4);
+        mutually exclusive with min_match/dl_factor, like the kernels."""
         if dl_factor is not None and dl_factor not in DL_FACTORS:
             raise ValueError(
                 f"unknown dl_factor {dl_factor!r}; registered: {sorted(DL_FACTORS)}"
             )
         if min_match < 1:
             raise ValueError(f"min_match must be >= 1, got {min_match}")
-        per_seg = self._per_segment(queries, k, min_match=min_match, dl_factor=dl_factor)
+        if dis_max_tie is not None:
+            if min_match > 1 or dl_factor is not None:
+                raise ValueError(
+                    "dis_max_tie cannot combine with min_match/dl_factor"
+                )
+            if not 0.0 <= dis_max_tie <= 1.0:
+                raise ValueError(
+                    f"dis_max_tie must be in [0, 1], got {dis_max_tie}"
+                )
+        per_seg = self._per_segment(
+            queries, k, min_match=min_match, dl_factor=dl_factor,
+            dis_max_tie=dis_max_tie,
+        )
         if per_seg is None:
             return pd.DataFrame(
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}

@@ -110,12 +110,51 @@ def lsh_buckets_udf(n_tables: int, n_planes: int, dim: int = DIM):
     return buckets
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight ≤ radius over n_planes sign bits.
+
+    Multi-probe LSH (Lv et al., VLDB'07): besides its own bucket, a query
+    probes every bucket within Hamming distance `radius` of it — fan-out
+    Σ_{i≤r} C(P,i) buckets per (query, table) in exchange for recall. At
+    radius == n_planes every bucket is probed, candidates == corpus, and
+    the result MUST equal the brute path exactly (the recall→1 limit) —
+    that full-radius mode is what the driver's value-hash oracle checks;
+    production configs run radius 0–2.
+    """
+    from itertools import combinations
+
+    if not 0 <= radius <= n_planes:
+        raise ValueError(f"radius must be in [0, {n_planes}], got {radius}")
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def _probe_expand(tabbed: DataFrame, n_planes: int, radius: int) -> DataFrame:
+    """Explode each (table, bucket) row into its probed bucket neighborhood
+    (bucket XOR mask for every mask of weight ≤ radius). The mask list is a
+    driver-side constant — C(P,≤r) literals — so the expansion is one
+    generator, no join, no Python on the executor path."""
+    if radius <= 0:
+        return tabbed
+    masks = _probe_masks(n_planes, radius)
+    return tabbed.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(int(m))) for m in masks])
+        ),
+    )
+
+
 def knn_cosine_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_tables: int = 8,
     n_planes: int = 6,
+    multiprobe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -126,6 +165,13 @@ def knn_cosine_lsh(
     Candidate generation is an equi-join on (table, bucket) — shuffle keyed
     by bucket, never O(n²). Same output contract as the brute path; recall
     is data-dependent and asserted in tests on clustered data.
+
+    `multiprobe_radius` > 0 additionally probes each query's neighbor
+    buckets within that Hamming distance (`_probe_masks`) — the probe
+    explosion happens on the TINY broadcast query side only, the corpus
+    side is hashed once. radius == n_planes is the exact mode (probes
+    everything; rank-identical to `knn_cosine_brute`, which is what the
+    value-hash oracle asserts).
 
     Sizing: 2^n_planes is the bucket count per table — pick
     n_planes ≈ log2(n_rows / target_bucket_size) so buckets hold tens-to-
@@ -145,6 +191,7 @@ def knn_cosine_lsh(
         "table",
         "bucket",
     )
+    q = _probe_expand(q, n_planes, multiprobe_radius)
     pairs = tabbed.join(F.broadcast(q), ["table", "bucket"]).filter(
         F.col(id_col) != F.col("query_id")
     )
@@ -170,6 +217,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.95,
     n_tables: int = 8,
     n_planes: int = 6,
+    multiprobe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -189,7 +237,11 @@ def embedding_near_dup_pairs_lsh(
     tabbed = embeddings.select(
         id_col, F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
     )
-    a = tabbed.alias("a")
+    # multi-probe on ONE side only: XOR distance is symmetric, so probing
+    # a's radius-r neighborhood reaches every pair within Hamming r — at
+    # radius == n_planes the candidate set is all pairs and the output is
+    # value-identical to the all-pairs twin below (the oracle mode)
+    a = _probe_expand(tabbed, n_planes, multiprobe_radius).alias("a")
     b = tabbed.alias("b")
     cand = (
         a.join(

@@ -64,15 +64,15 @@ def main() -> None:
              "queries_per_sec": round(len(qset) / batch_s, 1)}
     if args.per_query_latency:
         lat = []
+        # every mode probes through search_topk (driver-side merge, one
+        # Spark job) so p50/p95 are comparable across modes — dis_max
+        # included (search_topk grew a dis_max_tie kernel switch for this)
         for q in qset[: min(len(qset), 20)]:
             t1 = time.time()
-            if args.dis_max_tie is not None:
-                searcher.search_dis_max([q], k=args.k,
-                                        tie_breaker=args.dis_max_tie).collect()
-            else:
-                searcher.search_topk([q], k=args.k,
-                                     min_match=args.min_match,
-                                     dl_factor=args.dl_factor)
+            searcher.search_topk([q], k=args.k,
+                                 min_match=args.min_match,
+                                 dl_factor=args.dl_factor,
+                                 dis_max_tie=args.dis_max_tie)
             lat.append((time.time() - t1) * 1000)
         lat.sort()
         stats["p50_ms"] = round(lat[len(lat) // 2], 1)

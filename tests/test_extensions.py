@@ -137,6 +137,73 @@ def test_knn_lsh_high_recall_on_clustered_data(spark):
     assert len(lsh & brute) / len(brute) >= 0.9
 
 
+def test_multiprobe_masks():
+    """Mask enumeration: Σ_{i≤r} C(P,i) masks, weight-bounded, radius guard."""
+    import math as m
+
+    import pytest
+
+    from mtix_spark.similarity import _probe_masks
+
+    for planes, radius in [(4, 0), (4, 2), (6, 6), (5, 1)]:
+        masks = _probe_masks(planes, radius)
+        assert len(masks) == sum(m.comb(planes, i) for i in range(radius + 1))
+        assert len(set(masks)) == len(masks)
+        assert all(bin(x).count("1") <= radius and x < 2**planes for x in masks)
+    with pytest.raises(ValueError):
+        _probe_masks(4, 5)
+    with pytest.raises(ValueError):
+        _probe_masks(4, -1)
+
+
+def test_knn_lsh_multiprobe_recall_monotone_and_exact_at_full_radius(spark, emb500):
+    """Multi-probe LSH: the probed candidate set only grows with radius, so
+    top-k recall vs brute is nondecreasing, and at radius == n_planes the
+    candidate set is the corpus — output must be RANK-IDENTICAL to brute
+    (the recall→1 limit the driver's knn_lsh oracle asserts)."""
+    from mtix_spark.similarity import knn_cosine_brute, knn_cosine_lsh
+
+    ids = [0, 1, 2, 3, 4]
+    brute = knn_cosine_brute(emb500, ids, k=10).collect()
+    bset = {(r["query_id"], r["vec_id"]) for r in brute}
+
+    def recall(radius):
+        got = knn_cosine_lsh(
+            emb500, ids, k=10, n_tables=2, n_planes=6, multiprobe_radius=radius
+        ).collect()
+        return len({(r["query_id"], r["vec_id"]) for r in got} & bset) / len(bset), got
+
+    r0, _ = recall(0)
+    r2, _ = recall(2)
+    r6, full = recall(6)
+    assert r0 <= r2 <= r6 == 1.0
+    a = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in full)
+    b = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in brute)
+    assert a == b
+
+
+def test_embed_near_dup_lsh_full_radius_equals_all_pairs(spark, emb500):
+    """Near-dup at full probe radius == the exact all-pairs twin, pair for
+    pair and cosine for cosine (what the driver's embed_near_dup_lsh
+    oracle asserts)."""
+    from mtix_spark.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb500, threshold=0.35).collect()
+    )
+    lsh = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb500, threshold=0.35, n_tables=1, n_planes=4, multiprobe_radius=4
+        ).collect()
+    )
+    assert lsh == exact
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 

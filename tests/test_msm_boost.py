@@ -251,6 +251,24 @@ def test_search_topk_matches_search_msm_and_boost(spark, small_index):
         assert a == b and a, kw
 
 
+def test_search_topk_dis_max_matches_distributed_path(spark, small_index):
+    """search_topk's dis_max_tie switch (added so latency probes measure
+    one execution shape across all DSL modes) must stay row-identical to
+    search_dis_max, and reject mode combinations like the kernels do."""
+    queries = [(q, t) for q, t, _ in synth_queries(spark, 8).collect()]
+    s = SegmentSearcher(spark, small_index, persist=False)
+    a = _rows(s.search_dis_max(queries, k=12, tie_breaker=0.3))
+    b = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(r.score, 6))
+        for r in s.search_topk(queries, k=12, dis_max_tie=0.3).itertuples()
+    )
+    assert a == b and a
+    with pytest.raises(ValueError, match="cannot combine"):
+        s.search_topk(queries, k=12, dis_max_tie=0.3, min_match=2)
+    with pytest.raises(ValueError, match="dis_max_tie must be"):
+        s.search_topk(queries, k=12, dis_max_tie=1.5)
+
+
 def test_merged_searcher_msm_and_boost_matches_segment_path(
     spark, small_docs, small_index
 ):
