@@ -20,7 +20,13 @@ stream — inherently ~1 int per corpus token — so it is built only when
 `build_positions` is called (the BM25-only index pays nothing). The build
 shuffles position arrays keyed by seg exactly once; the segment kernel is
 the same whole-array numpy discipline as `_build_segment_postings` (no
-per-term Python). Query-side, a phrase touches only its terms' rows
+per-term Python). One segment is one applyInPandas task, so per-task
+memory and Python object count are bounded by seg_size, not corpus size —
+grow a corpus by adding segments of constant size, never by fattening
+segments (measured: 5x-fatter segments cost ~7.9x wall, exponent 1.28,
+from alloc/GC pressure on 5x the per-task position-array objects;
+constant seg_size restores ~linear growth — tools/data_scaling.py,
+BENCH.md round-5 data-size section). Query-side, a phrase touches only its terms' rows
 (parquet term IN-filter) and the adjacency chain is vectorized across ALL
 candidate docs at once (positions packed into doc-offset global ints — one
 np.intersect1d per phrase term, never a per-doc loop).

@@ -16,7 +16,15 @@ duplicate/shingle structure while replicas share no vocabulary — the
 pair/cluster/island workload grows exactly linearly in R by construction
 (pairs_large == R * pairs_small, asserted), and any superlinear wall
 growth is the algorithm's, not the data's. `positions_build` instead runs
-over synth_corpus(n) vs synth_corpus(R*n) (its natural input).
+over synth_corpus(n) vs synth_corpus(R*n) (its natural input), with
+SEG_SIZE HELD CONSTANT across sizes (n_segments = 8 vs 8*R): more data
+means more segments of the same size — the engine's actual scale
+geometry — not R-times-fatter segment tasks. (The first r5 run pinned
+n_segments=8 at both sizes and measured exponent 1.28: a whole segment is
+one applyInPandas task, so 5x-bigger segments mean 5x the per-task object
+count and the Python-side alloc/GC cost grows superlinearly. That is a
+property of letting seg_size grow with the corpus, which no at-scale
+deployment does; --fixed-geometry reproduces it.)
 
 Protocol: the host drifts, so sizes run interleaved
 (small,large,small,large,...) and the per-(entry,size) MEDIAN is used;
@@ -24,7 +32,8 @@ exponent = log(t_L/t_S) / log(R). Linear algorithms land near 1.0 (CC may
 add a log factor); anything well above ~1.2 at R=5 is a finding.
 
 Usage: python tools/data_scaling.py [sf_dir] [--replicas 5] [--passes 3]
-           [--cpus 8] [--pos-docs 15000]
+           [--cpus 8] [--pos-docs 15000] [--entries a,b,...]
+           [--fixed-geometry]
 """
 
 from __future__ import annotations
@@ -80,6 +89,13 @@ def main() -> None:
     passes = _arg("--passes", 3)
     cpus = _arg("--cpus", 8)
     pos_docs = _arg("--pos-docs", 15_000)
+    fixed_geometry = "--fixed-geometry" in sys.argv
+    if "--entries" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--entries") + 1].split(",")
+    else:
+        wanted = DOC_ENTRIES + ["positions_build"]
+    doc_entries = [e for e in DOC_ENTRIES if e in wanted]
+    run_positions = "positions_build" in wanted
 
     spark = get_spark("data_scaling", master=f"local[{cpus}]", shuffle_partitions=cpus)
     work = tempfile.mkdtemp(prefix="mtix_dscale_")
@@ -87,20 +103,25 @@ def main() -> None:
     os.makedirs(small_dir)
     os.makedirs(large_dir)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = docs.count()
-    docs.write.parquet(f"{small_dir}/documents.parquet")
-    replicate(docs, replicas, n).write.parquet(f"{large_dir}/documents.parquet")
-
-    # workload-linearity guard: the construction must grow the pair count
-    # ~linearly in R, else the exponent measures the data, not the code.
-    # Not exactly R× — banding is signature-dependent and the salted vocab
-    # hashes differently per replica — so ±10% of R× is the guard, and the
-    # measured ratio is recorded in the output.
     qs = E.queries()
-    p_small = qs["minhash_lsh"](spark, small_dir).count()
-    p_large = qs["minhash_lsh"](spark, large_dir).count()
-    assert 0.9 * replicas <= p_large / p_small <= 1.1 * replicas, (p_small, p_large)
+    n = p_small = p_large = None
+    if doc_entries:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        docs.write.parquet(f"{small_dir}/documents.parquet")
+        replicate(docs, replicas, n).write.parquet(
+            f"{large_dir}/documents.parquet"
+        )
+
+        # workload-linearity guard: the construction must grow the pair count
+        # ~linearly in R, else the exponent measures the data, not the code.
+        # Not exactly R× — banding is signature-dependent and the salted vocab
+        # hashes differently per replica — so ±10% of R× is the guard, and the
+        # measured ratio is recorded in the output.
+        p_small = qs["minhash_lsh"](spark, small_dir).count()
+        p_large = qs["minhash_lsh"](spark, large_dir).count()
+        assert 0.9 * replicas <= p_large / p_small <= 1.1 * replicas, \
+            (p_small, p_large)
 
     # positional-build inputs: one index per size (untimed), positions
     # rebuilt per pass (same reset discipline as bench.py)
@@ -115,11 +136,15 @@ def main() -> None:
     from mtix_spark.index.positions import build_positions
 
     pos = {}
-    for size, nd in (("small", pos_docs), ("large", replicas * pos_docs)):
-        d = assign_doc_ids(synth_corpus(spark, nd), cpus)
-        d = d.persist()
-        paths = build_index(spark, d, f"{work}/idx_{size}", n_segments=8)
-        pos[size] = (d, paths)
+    if run_positions:
+        for size, nd, nseg in (
+            ("small", pos_docs, 8),
+            ("large", replicas * pos_docs, 8 if fixed_geometry else 8 * replicas),
+        ):
+            d = assign_doc_ids(synth_corpus(spark, nd), cpus)
+            d = d.persist()
+            paths = build_index(spark, d, f"{work}/idx_{size}", n_segments=nseg)
+            pos[size] = (d, paths)
 
     samples: dict[tuple[str, str], list[float]] = {}
 
@@ -130,9 +155,9 @@ def main() -> None:
 
     for p in range(passes):
         for size, sdir in (("small", small_dir), ("large", large_dir)):
-            for entry in DOC_ENTRIES:
+            for entry in doc_entries:
                 run(entry, size, sdir)
-        for size in ("small", "large"):
+        for size in ("small", "large") if run_positions else ():
             d, paths = pos[size]
             if p > 0:
                 man = read_manifest(paths)
@@ -148,8 +173,9 @@ def main() -> None:
 
     out = {"sf_dir": sf_dir, "n_small": n, "replicas": replicas,
            "passes": passes, "cpus": cpus, "pos_docs": pos_docs,
+           "fixed_geometry": fixed_geometry,
            "pairs_small": p_small, "pairs_large": p_large, "entries": {}}
-    for entry in DOC_ENTRIES + ["positions_build"]:
+    for entry in doc_entries + (["positions_build"] if run_positions else []):
         ts = statistics.median(samples[(entry, "small")])
         tl = statistics.median(samples[(entry, "large")])
         out["entries"][entry] = {
