@@ -2127,6 +2127,82 @@ def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# trigram substring/regex grep (index.trigram — the codesearch candidate-
+# pruning layer; new r05 capability, north-rule corpus = source code)
+# ---------------------------------------------------------------------------
+
+GREP_NEEDLES = [
+    (1, "merge batch"),
+    (2, "table part"),
+    (3, "scan slow fast"),
+    (4, "ag"),  # shorter than one gram — exercises the verify-scan fallback
+    (5, "zz_absent_zz"),  # no hits; gram short-circuit
+]
+GREP_PATTERNS = [
+    (1, "merge [a-z]+ batch"),
+    (2, "slow|fast"),  # per-branch mandatory literals, union of candidates
+    (3, "scan [a-z]+ [a-z]+ table"),
+    (4, "the|[0-9]{9}"),  # digit branch has no literal — verify-scan fallback
+]
+
+_TRI_CACHE: dict[tuple, object] = {}
+
+
+def _docs_trigrams(spark: SparkSession, sf_dir: str):
+    """Trigram index over `documents` (original doc ids), one cached build
+    per (session, sf_dir) — deterministic, so reuse cannot change results."""
+    key = (sf_dir, spark.sparkContext.applicationId)
+    p = _TRI_CACHE.get(key)
+    if p is None:
+        from mtix_spark.index.trigram import build_trigram_index
+
+        docs = _tbl(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        p = build_trigram_index(
+            spark, docs, tempfile.mkdtemp(prefix="mtix_tri_"), n_segments=4
+        )
+        _TRI_CACHE[key] = p
+    return p
+
+
+def q_trigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram gram dictionary itself: (gram, df) — value-checks the
+    index build (per-doc-distinct gram extraction + per-seg posting df)
+    against a pure-SQL trigram expansion."""
+    p = _docs_trigrams(spark, sf_dir)
+    return spark.read.parquet(p.dictionary).select("gram", "df")
+
+
+def q_grep_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring grep THROUGH the trigram index (AND-intersected posting
+    lists -> contains-verify on candidates only); the oracle scans."""
+    from mtix_spark.index.trigram import grep_substring
+
+    p = _docs_trigrams(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return grep_substring(spark, p, docs, GREP_NEEDLES).orderBy(
+        "query_id", "doc_id"
+    )
+
+
+def q_grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex grep with mandatory-literal trigram pruning (R. Cox's
+    codesearch construction); literal-free branches verify-scan."""
+    from mtix_spark.index.trigram import grep_regex
+
+    p = _docs_trigrams(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return grep_regex(spark, p, docs, GREP_PATTERNS).orderBy(
+        "query_id", "doc_id"
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN in full-probe mode (VERDICT r4 #3): nprobe == n_centroids
     probes every inverted list, so the candidate set is the whole corpus
@@ -3352,6 +3428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r04 (CORRECTNESS_r04.json 48/50 hash-exact + 2 rows-only) or r03, and
     # the whole registry is re-verified via tools/check_oracles.py each round.
     return {
+        # new r05 capability: trigram substring/regex grep (index.trigram),
+        # leading the window so the driver value-checks it immediately
+        "trigram_postings": q_trigram_postings,
+        "grep_substring": q_grep_substring,
+        "grep_regex": q_grep_regex,
         # formerly rows-only, now value-checked in exact mode (VERDICT r4 #3)
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -3489,7 +3570,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     toks = TOK.format(c="text")
+    grep_needles = ", ".join(
+        f"({q}::BIGINT, '{s}')" for q, s in GREP_NEEDLES
+    )
+    grep_pats = ", ".join(
+        f"({q}::BIGINT, '{p}')" for q, p in GREP_PATTERNS
+    )
     return {
+        "trigram_postings": """
+SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, substr(text, i, 3) AS gram
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i
+        FROM documents WHERE length(text) >= 3)
+) GROUP BY gram
+""",
+        "grep_substring": f"""
+WITH needles(query_id, needle) AS (VALUES {grep_needles})
+SELECT n.query_id, d.doc_id,
+       ((length(d.text) - length(replace(d.text, n.needle, '')))
+        / length(n.needle))::BIGINT AS n_occ
+FROM documents d, needles n
+WHERE contains(d.text, n.needle)
+""",
+        "grep_regex": f"""
+WITH pats(query_id, pat) AS (VALUES {grep_pats})
+SELECT p.query_id, d.doc_id
+FROM documents d, pats p
+WHERE regexp_matches(d.text, p.pat)
+""",
         "tf_postings": f"""
 SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
   SELECT doc_id, unnest({toks}) AS term FROM documents

@@ -70,6 +70,10 @@ SUITE = [
     "hybrid_rrf_index", "function_score_index", "min_match_index",
     "dis_max", "dis_max_index", "multi_match_best", "rescore",
     "significant_terms",
+    # r05 addition — trigram substring/regex grep (index.trigram); the first
+    # interleaved pass pays the one cached trigram-index build (same protocol
+    # as the *_index entries and their shared _docs_index build)
+    "trigram_postings", "grep_substring", "grep_regex",
 ]
 
 

@@ -1,0 +1,556 @@
+"""Trigram substring/regex index — code-search candidate pruning.
+
+The north-rule corpus is source-code repositories; the canonical way to
+serve substring and regex queries over 10^12 files without scanning them
+is a trigram index (R. Cox, "Regular Expression Matching with a Trigram
+Index", 2012 — the Google Code Search design; Zoekt uses the same layout).
+The reference has no content-substring surface at all (its retrieval is an
+opaque remote model, /root/reference/src/mtix/predictors.py:22-35); this
+widens the replacement engine the way codesearch widens grep.
+
+Build
+-----
+Per segment, one posting row per distinct 3-char substring of the raw
+(case-sensitive) ``content``: ``gram -> sorted delta+varint doc ids``.
+Gram extraction is one flat Arrow/numpy pass per batch (sentinel-joined
+codepoint array, sliding windows, structured-dtype unique) — no per-char
+Python. A global gram dictionary ``(gram, df)`` is tiny (bounded by the
+charset cubed, Heaps-flat) and is written alongside for query-time gram
+selection. Build cost is O(total content chars), the inherent trigram
+index cost; per-doc distinct + map-side partial agg bound the shuffle.
+
+Query
+-----
+A needle of length >= 3 must contain every one of its trigrams, so any
+SUBSET of those trigrams gives a sound candidate over-approximation.  The
+query layer picks the ``GRAMS_PER_NEEDLE`` rarest grams (by dictionary
+df), AND-intersects their posting lists relationally (decode + explode
+only the selected lists — cost ∝ sum of matched posting lengths, never
+corpus size), then verifies ``contains``/``regexp_like`` on candidates
+only.  If any required gram is absent from the dictionary the needle
+cannot match and the branch short-circuits to empty without touching the
+corpus.  Regex patterns go through a conservative mandatory-literal
+extraction per top-level alternation branch (literals inside groups,
+classes, or under quantifiers are ignored); a branch with no mandatory
+literal of length >= 3 — and any needle shorter than 3 chars — falls back
+to a full verify scan, the documented honest fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mtix_spark.index.codec import delta_decode, encode_varint_with_sizes
+from mtix_spark.table_io import DEFAULT_IO
+
+TRIGRAM_N = 3
+GRAMS_PER_NEEDLE = 8  # rarest grams kept per needle/literal group
+_SENTINEL = np.uint32(0xFFFFFFFF)  # not a codepoint; joins docs in one array
+
+
+# --------------------------------------------------------------------------
+# build
+# --------------------------------------------------------------------------
+
+
+def _batch_doc_grams(ids: np.ndarray, texts) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, gram) distinct pairs for one Arrow batch, flat-vectorized.
+
+    All docs' UTF-32 codepoints are concatenated with double sentinels so
+    one sliding_window_view covers the batch; windows touching a sentinel
+    are masked out; per-(doc, gram) distinct runs on a structured dtype so
+    gram STRINGS materialize only once per distinct gram."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    arrs = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if isinstance(t, str) and t
+        else np.empty(0, dtype=np.uint32)
+        for t in texts
+    ]
+    n = len(arrs)
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+    pieces = []
+    sep = np.full(TRIGRAM_N - 1, _SENTINEL, dtype=np.uint32)
+    for a in arrs:
+        pieces.append(a)
+        pieces.append(sep)
+    concat = np.concatenate(pieces) if pieces else np.empty(0, dtype=np.uint32)
+    if concat.size < TRIGRAM_N:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    w = sliding_window_view(concat, TRIGRAM_N)
+    bad = concat == _SENTINEL
+    valid = ~(bad[:-2] | bad[1:-1] | bad[2:])
+    if not valid.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    # window start position -> owning doc
+    owner = np.repeat(np.arange(n, dtype=np.int64), lens + (TRIGRAM_N - 1))
+    starts = np.flatnonzero(valid)
+    parents = owner[starts]
+    wc = np.ascontiguousarray(w[valid])
+    rec = np.empty(wc.shape[0], dtype=[("p", "<i8"), ("g", "V12")])
+    rec["p"] = parents
+    rec["g"] = wc.view("V12").ravel()
+    uniq = np.unique(rec)
+    ug, inv = np.unique(uniq["g"], return_inverse=True)
+    gram_strs = np.array(
+        [bytes(x).decode("utf-32-le") for x in ug], dtype=object
+    )
+    return ids[uniq["p"]], gram_strs[inv]
+
+
+def _encode_segment_grams(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One segment's (gram, doc_id) rows -> posting rows, vectorized like
+    build._build_segment_postings (factorize + lexsort + masked diff + one
+    bulk varint encode sliced by byte offsets)."""
+    seg = int(pdf["seg"].iloc[0])
+    codes_unsorted, uniques = pd.factorize(pdf["gram"], sort=True)
+    order = np.lexsort((pdf["doc_id"].to_numpy(), codes_unsorted))
+    codes = codes_unsorted[order]
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+    change = np.empty(codes.size, dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], codes.size)
+    deltas = doc_ids.copy()
+    deltas[1:] -= doc_ids[:-1]
+    deltas[starts] = doc_ids[starts]
+    buf, nb = encode_varint_with_sizes(deltas)
+    off = np.zeros(codes.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=off[1:])
+    mv = memoryview(buf)
+    bins = [bytes(mv[off[s] : off[e]]) for s, e in zip(starts, ends)]
+    return pd.DataFrame(
+        {
+            "gram": np.asarray(uniques, dtype=object)[codes[starts]],
+            "seg": np.full(starts.size, seg, dtype=np.int32),
+            "df_seg": (ends - starts).astype(np.int32),
+            "doc_ids_bin": bins,
+            "min_doc": doc_ids[starts].astype(np.int64),
+            "max_doc": doc_ids[ends - 1].astype(np.int64),
+        }
+    )
+
+
+class TrigramPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.postings = os.path.join(root, "tri_postings")
+        self.dictionary = os.path.join(root, "tri_dictionary")
+        self.meta = os.path.join(root, "trigram_meta.json")
+
+
+def build_trigram_index(
+    spark: SparkSession, docs: DataFrame, root: str, n_segments: int = 16
+) -> TrigramPaths:
+    """Build the trigram posting index under ``root``.
+
+    docs: any relation with (doc_id long, content string) — e.g. the
+    assign_doc_ids output.  Segments are doc-id ranges exactly like the
+    term index (build.build_index), so per-segment deltas stay small.
+    Writes seg-partitioned postings, the global gram dictionary, and
+    commits a meta manifest LAST (the same data-first/atomic-pointer-flip
+    discipline as the term index)."""
+    paths = TrigramPaths(root)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        max_id = 0
+    seg_size = max(1, -(-(int(max_id) + 1) // n_segments))
+    docs = docs.withColumn(
+        "seg", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grams = _batch_doc_grams(
+                pdf["doc_id"].to_numpy(), pdf["content"].tolist()
+            )
+            if ids.size == 0:
+                continue
+            seg_of = dict(
+                zip(pdf["doc_id"].to_numpy(), pdf["seg"].to_numpy())
+            )
+            yield pd.DataFrame(
+                {
+                    "seg": np.array(
+                        [seg_of[i] for i in ids], dtype=np.int32
+                    ),
+                    "gram": grams,
+                    "doc_id": ids,
+                }
+            )
+
+    pairs = docs.select("doc_id", "seg", "content").mapInPandas(
+        kernel, "seg int, gram string, doc_id long"
+    )
+    postings = pairs.groupBy("seg").applyInPandas(
+        _encode_segment_grams,
+        "gram string, seg int, df_seg int, doc_ids_bin binary, "
+        "min_doc long, max_doc long",
+    )
+    DEFAULT_IO.overwrite_partitions(postings, paths.postings, "seg")
+    written = spark.read.parquet(paths.postings)
+    gd = written.groupBy("gram").agg(
+        F.sum("df_seg").cast("long").alias("df")
+    )
+    DEFAULT_IO.overwrite(gd, paths.dictionary)
+    n_grams = spark.read.parquet(paths.dictionary).count()
+    DEFAULT_IO.commit_manifest(
+        paths.meta,
+        {"gram": TRIGRAM_N, "n_grams": int(n_grams), "seg_size": seg_size,
+         "n_segments": n_segments},
+    )
+    return paths
+
+
+# --------------------------------------------------------------------------
+# regex mandatory-literal extraction (conservative)
+# --------------------------------------------------------------------------
+
+_CLASS_ESCAPES = set("dDwWsSbBAZzG0123456789")
+
+
+def split_alternation(pattern: str) -> list[str]:
+    """Split on top-level ``|`` (depth 0, outside classes, not escaped)."""
+    branches, buf, depth, i = [], [], 0, 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            j = _skip_class(pattern, i)
+            buf.append(pattern[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            branches.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    branches.append("".join(buf))
+    return branches
+
+
+def _skip_class(pat: str, i: int) -> int:
+    """Index one past the ``]`` closing the class opened at pat[i]=='['."""
+    j = i + 1
+    if j < len(pat) and pat[j] == "^":
+        j += 1
+    if j < len(pat) and pat[j] == "]":
+        j += 1
+    while j < len(pat):
+        if pat[j] == "\\":
+            j += 2
+            continue
+        if pat[j] == "]":
+            return j + 1
+        j += 1
+    return j
+
+
+def _skip_group(pat: str, i: int) -> int:
+    """Index one past the ``)`` matching the ``(`` at pat[i]."""
+    depth, j = 0, i
+    while j < len(pat):
+        ch = pat[j]
+        if ch == "\\":
+            j += 2
+            continue
+        if ch == "[":
+            j = _skip_class(pat, j)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return j
+
+
+def mandatory_literals(branch: str) -> list[str] | None:
+    """Literal runs guaranteed to appear contiguously in EVERY match of the
+    branch.  Conservative: group/class contents are ignored, a char under a
+    quantifier is dropped from its run (even ``+``, where keeping it would
+    be sound — simplicity over pruning power).  Returns None when the
+    branch contains a construct the scanner refuses to reason about."""
+    runs: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if run:
+            runs.append("".join(run))
+            run.clear()
+
+    i = 0
+    while i < len(branch):
+        ch = branch[i]
+        if ch == "\\":
+            if i + 1 >= len(branch):
+                return None
+            nxt = branch[i + 1]
+            if nxt in _CLASS_ESCAPES:
+                flush()
+            else:
+                run.append(nxt)
+            i += 2
+            continue
+        if ch == "[":
+            flush()
+            i = _skip_class(branch, i)
+            continue
+        if ch == "(":
+            flush()
+            i = _skip_group(branch, i)
+            continue
+        if ch in ")|":
+            # unmatched ')' / residual '|' — refuse rather than risk it
+            return None
+        if ch in ".^$":
+            flush()
+            i += 1
+            continue
+        if ch in "?*+":
+            if run:
+                run.pop()
+            flush()
+            i += 1
+            continue
+        if ch == "{":
+            if run:
+                run.pop()
+            flush()
+            j = branch.find("}", i)
+            i = (j + 1) if j >= 0 else len(branch)
+            continue
+        run.append(ch)
+        i += 1
+    flush()
+    return runs
+
+
+def _grams_of(text: str) -> list[str]:
+    return sorted(
+        {text[i : i + TRIGRAM_N] for i in range(len(text) - TRIGRAM_N + 1)}
+    )
+
+
+def required_gram_groups(pattern: str) -> list[list[str]] | None:
+    """Per top-level-alternation branch, the trigram set every match of
+    that branch must contain; None when ANY branch lacks a mandatory
+    literal of length >= 3 (the whole pattern then needs a verify scan,
+    because that branch alone can match anything)."""
+    groups = []
+    for branch in split_alternation(pattern):
+        lits = mandatory_literals(branch)
+        if lits is None:
+            return None
+        grams = sorted(
+            {g for lit in lits if len(lit) >= TRIGRAM_N for g in _grams_of(lit)}
+        )
+        if not grams:
+            return None
+        groups.append(grams)
+    return groups
+
+
+# --------------------------------------------------------------------------
+# query
+# --------------------------------------------------------------------------
+
+
+def _select_rarest(
+    spark: SparkSession,
+    paths: TrigramPaths,
+    groups: list[tuple[int, int, list[str]]],
+    max_grams: int = GRAMS_PER_NEEDLE,
+) -> tuple[list[tuple[int, int, str]], set[tuple[int, int]]]:
+    """Keep the ``max_grams`` rarest dictionary grams per (query, branch).
+
+    Any subset of a branch's required grams still over-approximates its
+    matches, so dropping common grams is sound and caps the decoded
+    posting volume.  A branch with a gram ABSENT from the dictionary can
+    match nothing — returned separately so it short-circuits to empty."""
+    all_grams = sorted({g for _, _, gs in groups for g in gs})
+    df_map = {
+        r["gram"]: r["df"]
+        for r in spark.read.parquet(paths.dictionary)
+        .filter(F.col("gram").isin(all_grams))
+        .collect()
+    }
+    picked: list[tuple[int, int, str]] = []
+    dead: set[tuple[int, int]] = set()
+    for qid, branch, grams in groups:
+        if any(g not in df_map for g in grams):
+            dead.add((qid, branch))
+            continue
+        keep = sorted(grams, key=lambda g: (df_map[g], g))[:max_grams]
+        picked.extend((qid, branch, g) for g in keep)
+    return picked, dead
+
+
+def _decoded_postings(
+    spark: SparkSession, paths: TrigramPaths, grams: list[str]
+) -> DataFrame:
+    """(gram, doc_id) for the selected grams only — the IN filter pushes
+    to the parquet scan (row-group pruning on gram min/max + dictionary),
+    so the read is ∝ matched posting bytes, never index size."""
+    rows = spark.read.parquet(paths.postings).filter(
+        F.col("gram").isin(sorted(set(grams)))
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs_g, outs_d = [], []
+            for g, b in zip(pdf["gram"], pdf["doc_ids_bin"]):
+                ids = delta_decode(b)
+                outs_g.append(np.full(ids.size, g, dtype=object))
+                outs_d.append(ids.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "gram": np.concatenate(outs_g),
+                    "doc_id": np.concatenate(outs_d),
+                }
+            )
+
+    return rows.select("gram", "doc_ids_bin").mapInPandas(
+        decode, "gram string, doc_id long"
+    )
+
+
+def _candidates(
+    spark: SparkSession,
+    paths: TrigramPaths,
+    groups: list[tuple[int, int, list[str]]],
+) -> DataFrame:
+    """(query_id, doc_id) docs containing ALL selected grams of at least
+    one branch — relational AND via group-count, union across branches by
+    the final distinct; no driver-side doc lists."""
+    picked, dead = _select_rarest(spark, paths, groups)
+    live = [(q, b, g) for q, b, g in picked if (q, b) not in dead]
+    if not live:
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    need = spark.createDataFrame(
+        live, "query_id long, branch long, gram string"
+    )
+    n_req = (
+        need.groupBy("query_id", "branch")
+        .agg(F.count("*").alias("n_req"))
+    )
+    posts = _decoded_postings(spark, paths, [g for _, _, g in live])
+    hits = posts.join(F.broadcast(need), "gram")
+    return (
+        hits.groupBy("query_id", "branch", "doc_id")
+        .agg(F.count("*").alias("n_got"))
+        .join(F.broadcast(n_req), ["query_id", "branch"])
+        .filter(F.col("n_got") == F.col("n_req"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def grep_substring(
+    spark: SparkSession,
+    paths: TrigramPaths,
+    docs: DataFrame,
+    needles: list[tuple[int, str]],
+    count_occurrences: bool = True,
+) -> DataFrame:
+    """(query_id, doc_id[, n_occ]) — docs whose content contains each
+    needle, answered through the trigram index.  Needles shorter than the
+    gram size verify against the full corpus (honest fallback — there is
+    nothing to prune with); everything else touches only candidates."""
+    prunable = [(q, s) for q, s in needles if len(s) >= TRIGRAM_N]
+    fallback = [(q, s) for q, s in needles if 0 < len(s) < TRIGRAM_N]
+    parts = []
+    base = docs.select("doc_id", "content")
+    if prunable:
+        groups = [(q, 0, _grams_of(s)) for q, s in prunable]
+        cand = _candidates(spark, paths, groups)
+        ndf = spark.createDataFrame(prunable, "query_id long, needle string")
+        parts.append(
+            cand.join(base, "doc_id")
+            .join(F.broadcast(ndf), "query_id")
+        )
+    if fallback:
+        ndf = spark.createDataFrame(fallback, "query_id long, needle string")
+        parts.append(base.crossJoin(F.broadcast(ndf)))
+    if not parts:
+        schema = "query_id long, doc_id long" + (
+            ", n_occ long" if count_occurrences else ""
+        )
+        return spark.createDataFrame([], schema)
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    out = un.filter(F.contains(F.col("content"), F.col("needle")))
+    if count_occurrences:
+        n = (
+            (F.length("content") - F.length(F.replace(F.col("content"), F.col("needle"), F.lit(""))))
+            / F.length("needle")
+        ).cast("long")
+        return out.select("query_id", "doc_id", n.alias("n_occ"))
+    return out.select("query_id", "doc_id")
+
+
+def grep_regex(
+    spark: SparkSession,
+    paths: TrigramPaths,
+    docs: DataFrame,
+    patterns: list[tuple[int, str]],
+) -> DataFrame:
+    """(query_id, doc_id) — docs whose content matches each regex
+    (partial match, `rlike` semantics).  Candidate pruning via mandatory
+    literals; patterns without one fall back to a verify scan."""
+    prunable, fallback = [], []
+    for qid, pat in patterns:
+        groups = required_gram_groups(pat)
+        if groups is None:
+            fallback.append((qid, pat))
+        else:
+            prunable.append((qid, pat, groups))
+    parts = []
+    base = docs.select("doc_id", "content")
+    if prunable:
+        flat = [
+            (qid, b, grams)
+            for qid, _, groups in prunable
+            for b, grams in enumerate(groups)
+        ]
+        cand = _candidates(spark, paths, flat)
+        pdf_ = spark.createDataFrame(
+            [(q, p) for q, p, _ in prunable], "query_id long, pat string"
+        )
+        parts.append(
+            cand.join(base, "doc_id").join(F.broadcast(pdf_), "query_id")
+        )
+    if fallback:
+        pdf_ = spark.createDataFrame(fallback, "query_id long, pat string")
+        parts.append(base.crossJoin(F.broadcast(pdf_)))
+    if not parts:
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.filter(
+        F.regexp_like(F.col("content"), F.col("pat"))
+    ).select("query_id", "doc_id")
