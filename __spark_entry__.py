@@ -2139,6 +2139,11 @@ GREP_NEEDLES = [
     (4, "ag"),  # shorter than one gram — exercises the verify-scan fallback
     (5, "zz_absent_zz"),  # no hits; gram short-circuit
 ]
+GREP_ICASE_NEEDLES = [
+    (1, "MERGE Batch"),  # lowercase corpus — only variant classes find it
+    (2, "Table PART"),
+    (3, "ZZ_Absent"),
+]
 GREP_PATTERNS = [
     (1, "merge [a-z]+ batch"),
     (2, "slow|fast"),  # per-branch mandatory literals, union of candidates
@@ -2201,6 +2206,22 @@ def q_grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grep_regex(spark, p, docs, GREP_PATTERNS).orderBy(
         "query_id", "doc_id"
     )
+
+
+def q_grep_icase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring grep against the CASE-SENSITIVE gram
+    index: each needle gram becomes a class of its <=8 case variants and
+    a doc must match >=1 variant per class (smart-case against a cased
+    index); verify lowers both sides."""
+    from mtix_spark.index.trigram import grep_substring
+
+    p = _docs_trigrams(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return grep_substring(
+        spark, p, docs, GREP_ICASE_NEEDLES, case_insensitive=True
+    ).orderBy("query_id", "doc_id")
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3433,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_postings": q_trigram_postings,
         "grep_substring": q_grep_substring,
         "grep_regex": q_grep_regex,
+        "grep_icase": q_grep_icase,
         # formerly rows-only, now value-checked in exact mode (VERDICT r4 #3)
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -3576,6 +3598,9 @@ def oracle_sql() -> dict[str, str]:
     grep_pats = ", ".join(
         f"({q}::BIGINT, '{p}')" for q, p in GREP_PATTERNS
     )
+    grep_icase = ", ".join(
+        f"({q}::BIGINT, '{s.lower()}')" for q, s in GREP_ICASE_NEEDLES
+    )
     return {
         "trigram_postings": """
 SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM (
@@ -3597,6 +3622,14 @@ WITH pats(query_id, pat) AS (VALUES {grep_pats})
 SELECT p.query_id, d.doc_id
 FROM documents d, pats p
 WHERE regexp_matches(d.text, p.pat)
+""",
+        "grep_icase": f"""
+WITH needles(query_id, needle) AS (VALUES {grep_icase})
+SELECT n.query_id, d.doc_id,
+       ((length(lower(d.text)) - length(replace(lower(d.text), n.needle, '')))
+        / length(n.needle))::BIGINT AS n_occ
+FROM documents d, needles n
+WHERE contains(lower(d.text), n.needle)
 """,
         "tf_postings": f"""
 SELECT term, doc_id, count(*)::BIGINT AS tf FROM (

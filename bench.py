@@ -73,7 +73,7 @@ SUITE = [
     # r05 addition — trigram substring/regex grep (index.trigram); the first
     # interleaved pass pays the one cached trigram-index build (same protocol
     # as the *_index entries and their shared _docs_index build)
-    "trigram_postings", "grep_substring", "grep_regex",
+    "trigram_postings", "grep_substring", "grep_regex", "grep_icase",
 ]
 
 

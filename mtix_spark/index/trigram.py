@@ -357,6 +357,13 @@ def required_gram_groups(pattern: str) -> list[list[str]] | None:
     that branch must contain; None when ANY branch lacks a mandatory
     literal of length >= 3 (the whole pattern then needs a verify scan,
     because that branch alone can match anything)."""
+    import re as _re
+
+    # an inline case-insensitivity flag makes every extracted literal
+    # case-UNSTABLE — (?i)foobar matches FOOBAR, which contains none of
+    # foobar's grams.  Conservative: any (?...i...) group -> verify scan.
+    if _re.search(r"\(\?[^:)]*i", pattern):
+        return None
     groups = []
     for branch in split_alternation(pattern):
         lits = mandatory_literals(branch)
@@ -376,33 +383,57 @@ def required_gram_groups(pattern: str) -> list[list[str]] | None:
 # --------------------------------------------------------------------------
 
 
-def _select_rarest(
+def _case_variants(gram: str) -> list[str]:
+    """All upper/lower combinations of the gram's cased characters — at
+    most 2^TRIGRAM_N = 8 variants, the bounded expansion that lets a
+    case-INSENSITIVE query run against the case-SENSITIVE gram index."""
+    outs = [""]
+    for ch in gram:
+        lo, up = ch.lower(), ch.upper()
+        alts = (lo,) if lo == up else (lo, up)
+        outs = [p + a for p in outs for a in alts]
+    return sorted(set(outs))
+
+
+def _select_rarest_classes(
     spark: SparkSession,
     paths: TrigramPaths,
-    groups: list[tuple[int, int, list[str]]],
+    classes: list[tuple[int, int, int, list[str]]],
     max_grams: int = GRAMS_PER_NEEDLE,
-) -> tuple[list[tuple[int, int, str]], set[tuple[int, int]]]:
-    """Keep the ``max_grams`` rarest dictionary grams per (query, branch).
+) -> tuple[list[tuple[int, int, int, str]], set[tuple[int, int]]]:
+    """Keep the ``max_grams`` rarest gram CLASSES per (query, branch).
 
-    Any subset of a branch's required grams still over-approximates its
-    matches, so dropping common grams is sound and caps the decoded
-    posting volume.  A branch with a gram ABSENT from the dictionary can
-    match nothing — returned separately so it short-circuits to empty."""
-    all_grams = sorted({g for _, _, gs in groups for g in gs})
+    A class is one required gram position with its acceptable index-gram
+    variants (one variant when case-sensitive, up to 8 when not); a doc
+    must match >= 1 variant of every kept class.  Any subset of a
+    branch's classes still over-approximates its matches, so dropping
+    common classes is sound and caps the decoded posting volume.  A class
+    with NO variant in the dictionary can match nothing — its (query,
+    branch) short-circuits to empty without touching the corpus."""
+    all_grams = sorted({v for _, _, _, vs in classes for v in vs})
     df_map = {
         r["gram"]: r["df"]
         for r in spark.read.parquet(paths.dictionary)
         .filter(F.col("gram").isin(all_grams))
         .collect()
     }
-    picked: list[tuple[int, int, str]] = []
+    by_qb: dict[tuple[int, int], list[tuple[int, int, list[str]]]] = {}
+    for qid, branch, cls, variants in classes:
+        by_qb.setdefault((qid, branch), []).append((qid, cls, variants))
+    picked: list[tuple[int, int, int, str]] = []
     dead: set[tuple[int, int]] = set()
-    for qid, branch, grams in groups:
-        if any(g not in df_map for g in grams):
-            dead.add((qid, branch))
-            continue
-        keep = sorted(grams, key=lambda g: (df_map[g], g))[:max_grams]
-        picked.extend((qid, branch, g) for g in keep)
+    for (qid, branch), cls_list in by_qb.items():
+        scored = []
+        for _, cls, variants in cls_list:
+            present = [v for v in variants if v in df_map]
+            if not present:
+                dead.add((qid, branch))
+                break
+            scored.append((sum(df_map[v] for v in present), cls, present))
+        else:
+            scored.sort(key=lambda t: (t[0], t[1]))
+            for _, cls, present in scored[:max_grams]:
+                picked.extend((qid, branch, cls, v) for v in present)
     return picked, dead
 
 
@@ -437,35 +468,50 @@ def _decoded_postings(
     )
 
 
-def _candidates(
+def _candidates_classes(
     spark: SparkSession,
     paths: TrigramPaths,
-    groups: list[tuple[int, int, list[str]]],
+    classes: list[tuple[int, int, int, list[str]]],
 ) -> DataFrame:
-    """(query_id, doc_id) docs containing ALL selected grams of at least
-    one branch — relational AND via group-count, union across branches by
-    the final distinct; no driver-side doc lists."""
-    picked, dead = _select_rarest(spark, paths, groups)
-    live = [(q, b, g) for q, b, g in picked if (q, b) not in dead]
+    """(query_id, doc_id) docs matching >= 1 variant of EVERY selected
+    gram class of at least one branch — relational AND via distinct-class
+    count, union across branches by the final distinct; no driver-side
+    doc lists."""
+    picked, dead = _select_rarest_classes(spark, paths, classes)
+    live = [(q, b, c, v) for q, b, c, v in picked if (q, b) not in dead]
     if not live:
         return spark.createDataFrame([], "query_id long, doc_id long")
     need = spark.createDataFrame(
-        live, "query_id long, branch long, gram string"
+        live, "query_id long, branch long, cls long, gram string"
     )
-    n_req = (
-        need.groupBy("query_id", "branch")
-        .agg(F.count("*").alias("n_req"))
+    n_req = need.groupBy("query_id", "branch").agg(
+        F.countDistinct("cls").alias("n_req")
     )
-    posts = _decoded_postings(spark, paths, [g for _, _, g in live])
+    posts = _decoded_postings(spark, paths, [v for _, _, _, v in live])
     hits = posts.join(F.broadcast(need), "gram")
     return (
         hits.groupBy("query_id", "branch", "doc_id")
-        .agg(F.count("*").alias("n_got"))
+        .agg(F.countDistinct("cls").alias("n_got"))
         .join(F.broadcast(n_req), ["query_id", "branch"])
         .filter(F.col("n_got") == F.col("n_req"))
         .select("query_id", "doc_id")
         .distinct()
     )
+
+
+def _candidates(
+    spark: SparkSession,
+    paths: TrigramPaths,
+    groups: list[tuple[int, int, list[str]]],
+) -> DataFrame:
+    """Case-sensitive convenience wrapper: every gram is its own
+    single-variant class."""
+    classes = [
+        (qid, branch, i, [g])
+        for qid, branch, grams in groups
+        for i, g in enumerate(grams)
+    ]
+    return _candidates_classes(spark, paths, classes)
 
 
 def grep_substring(
@@ -474,18 +520,37 @@ def grep_substring(
     docs: DataFrame,
     needles: list[tuple[int, str]],
     count_occurrences: bool = True,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id[, n_occ]) — docs whose content contains each
     needle, answered through the trigram index.  Needles shorter than the
     gram size verify against the full corpus (honest fallback — there is
-    nothing to prune with); everything else touches only candidates."""
+    nothing to prune with); everything else touches only candidates.
+
+    ``case_insensitive`` keeps the SAME case-sensitive index: each needle
+    gram becomes a class of its <= 8 case variants (ripgrep-style smart
+    case against a cased index), and the verify predicate lowers both
+    sides."""
+    if case_insensitive:
+        needles = [(q, s.lower()) for q, s in needles]
     prunable = [(q, s) for q, s in needles if len(s) >= TRIGRAM_N]
     fallback = [(q, s) for q, s in needles if 0 < len(s) < TRIGRAM_N]
     parts = []
     base = docs.select("doc_id", "content")
     if prunable:
-        groups = [(q, 0, _grams_of(s)) for q, s in prunable]
-        cand = _candidates(spark, paths, groups)
+        if case_insensitive:
+            classes = [
+                (q, 0, i, _case_variants(g))
+                for q, s in prunable
+                for i, g in enumerate(_grams_of(s))
+            ]
+        else:
+            classes = [
+                (q, 0, i, [g])
+                for q, s in prunable
+                for i, g in enumerate(_grams_of(s))
+            ]
+        cand = _candidates_classes(spark, paths, classes)
         ndf = spark.createDataFrame(prunable, "query_id long, needle string")
         parts.append(
             cand.join(base, "doc_id")
@@ -502,10 +567,11 @@ def grep_substring(
     un = parts[0]
     for p in parts[1:]:
         un = un.unionByName(p)
-    out = un.filter(F.contains(F.col("content"), F.col("needle")))
+    body = F.lower(F.col("content")) if case_insensitive else F.col("content")
+    out = un.filter(F.contains(body, F.col("needle")))
     if count_occurrences:
         n = (
-            (F.length("content") - F.length(F.replace(F.col("content"), F.col("needle"), F.lit(""))))
+            (F.length(body) - F.length(F.replace(body, F.col("needle"), F.lit(""))))
             / F.length("needle")
         ).cast("long")
         return out.select("query_id", "doc_id", n.alias("n_occ"))

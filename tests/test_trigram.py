@@ -134,6 +134,74 @@ class TestSubstring:
         assert a == b and len(a) >= 1
 
 
+class TestCaseInsensitive:
+    def test_case_variants(self):
+        from mtix_spark.index.trigram import _case_variants
+
+        assert _case_variants("a1b") == ["A1B", "A1b", "a1B", "a1b"]
+        assert _case_variants("12 ") == ["12 "]
+        assert len(_case_variants("abc")) == 8
+
+    def test_icase_matches_brute(self, spark, small_docs, tri_index):
+        base = small_docs.select("doc_id", "content")
+        text = base.limit(1).collect()[0]["content"]
+        frag = text[4:16]
+        scrambled = "".join(
+            c.upper() if i % 2 else c.lower() for i, c in enumerate(frag)
+        )
+        qs = [(1, scrambled), (2, frag.upper()), (3, "ZZ_ABSENT")]
+        got = _rows(
+            grep_substring(spark, tri_index, base, qs, case_insensitive=True)
+        )
+        ndf = spark.createDataFrame(
+            [(q, s.lower()) for q, s in qs], "query_id long, needle string"
+        )
+        exp = _rows(
+            base.crossJoin(F.broadcast(ndf))
+            .filter(F.contains(F.lower("content"), F.col("needle")))
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    (
+                        F.length("content")
+                        - F.length(
+                            F.replace(
+                                F.lower(F.col("content")),
+                                F.col("needle"),
+                                F.lit(""),
+                            )
+                        )
+                    )
+                    / F.length("needle")
+                )
+                .cast("long")
+                .alias("n_occ"),
+            )
+        )
+        assert got == exp
+        assert len(got) >= 2  # both cased probes found the original doc
+        # the same scrambled needle finds NOTHING case-sensitively
+        cs = grep_substring(spark, tri_index, base, [(1, scrambled)])
+        assert cs.count() == 0
+
+    def test_inline_flag_pattern_falls_back_correctly(
+        self, spark, small_docs, tri_index
+    ):
+        assert required_gram_groups("(?i)foobar") is None
+        assert required_gram_groups("(?im)x(abc)y") is None
+        base = small_docs.select("doc_id", "content")
+        word = base.limit(1).collect()[0]["content"].split()[0]
+        pat = f"(?i){word.upper()}"
+        got = _rows(grep_regex(spark, tri_index, base, [(1, pat)]))
+        exp = _rows(
+            base.filter(F.regexp_like(F.col("content"), F.lit(pat))).select(
+                F.lit(1).alias("query_id"), "doc_id"
+            )
+        )
+        assert got == exp and len(got) >= 1
+
+
 class TestRegexLiterals:
     def test_split_alternation(self):
         assert split_alternation("foo|ba(r|z)") == ["foo", "ba(r|z)"]
