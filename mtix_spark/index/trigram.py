@@ -476,7 +476,19 @@ def _candidates_classes(
     """(query_id, doc_id) docs matching >= 1 variant of EVERY selected
     gram class of at least one branch — relational AND via distinct-class
     count, union across branches by the final distinct; no driver-side
-    doc lists."""
+    doc lists.
+
+    The final exchange is an explicit ``repartition(P, doc_id)``
+    (REPARTITION_BY_NUM origin): a candidate row is two longs, so AQE's
+    bytes-based partition coalescing would pack the whole set into one
+    partition — but each row fans into a per-document content verify
+    downstream (lower/contains/replace over the doc body), whose cost is
+    proportional to document bytes, not candidate bytes.  Pinning the
+    number keeps the verify stage at full width; hash-by-doc_id satisfies
+    both the distinct below (subset clustering) and the verify join's
+    requirement, so this is the SAME single exchange the plan had, just
+    non-coalescible.  Measured: the 10-needle case-insensitive batch at
+    local[4] dropped 22s -> 9s once the verify ran wide."""
     picked, dead = _select_rarest_classes(spark, paths, classes)
     live = [(q, b, c, v) for q, b, c, v in picked if (q, b) not in dead]
     if not live:
@@ -489,12 +501,14 @@ def _candidates_classes(
     )
     posts = _decoded_postings(spark, paths, [v for _, _, _, v in live])
     hits = posts.join(F.broadcast(need), "gram")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
         hits.groupBy("query_id", "branch", "doc_id")
         .agg(F.countDistinct("cls").alias("n_got"))
         .join(F.broadcast(n_req), ["query_id", "branch"])
         .filter(F.col("n_got") == F.col("n_req"))
         .select("query_id", "doc_id")
+        .repartition(n_parts, "doc_id")
         .distinct()
     )
 
