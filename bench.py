@@ -74,6 +74,8 @@ SUITE = [
     # interleaved pass pays the one cached trigram-index build (same protocol
     # as the *_index entries and their shared _docs_index build)
     "trigram_postings", "grep_substring", "grep_regex", "grep_icase",
+    # r05 addition — percolator (reverse search: stored queries vs doc stream)
+    "percolate_terms", "percolate_phrase",
 ]
 
 

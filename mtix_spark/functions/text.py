@@ -40,6 +40,15 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(arr, lambda t: t != F.lit(""))
 
 
+def tokenize_py(s: str) -> list[str]:
+    """Driver-side twin of `tokenize` for normalizing QUERY strings (never
+    rows — corpus text only ever meets the Column expression above). One
+    shared definition so entry points cannot drift from the analyzer."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, s.lower()) if t]
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace-ish token count (training-data pipeline op)."""
     return F.size(tokenize(col))
