@@ -151,6 +151,24 @@ def test_queries_df_validation(spark, bad):
         queries_df(spark, [bad])
 
 
+def test_plan_broadcasts_queries_never_shuffles_corpus_on_terms(spark, corpus_docs, specs):
+    """The scale contract: the query-term relation ships broadcast and the
+    only hash exchange is the output-bounded (doc_id, query_id) aggregation
+    — the corpus never shuffle-joins on term."""
+    out = percolate(corpus_docs, queries_df(spark, specs))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every hash exchange must be keyed by the match aggregation, not term
+    import re
+
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "term" not in args, f"corpus shuffled on term: {args}"
+
+
 def test_stream_matches_batch(spark, corpus_docs, specs, tmp_path):
     """foreachBatch streaming percolation routes identically to batch."""
     src = str(tmp_path / "src")
