@@ -52,6 +52,13 @@ from mtix_spark.table_io import DEFAULT_IO
 
 TRIGRAM_N = 3
 GRAMS_PER_NEEDLE = 8  # rarest grams kept per needle/literal group
+# Verify-join gate: when the driver-side candidate upper bound (sum of the
+# rarest class's df per live query/branch — free from the dictionary lookup)
+# fits this many rows, the candidate set is BROADCAST into the corpus scan:
+# content bytes never shuffle and the verify runs at file-scan width.  Past
+# the bound (hot-gram needles at corpus scale) the shuffle path takes over.
+# 4M rows x 2 longs ≈ 64 MB hashed — comfortably under executor memory.
+BROADCAST_CANDIDATE_ROWS = 4_000_000
 _SENTINEL = np.uint32(0xFFFFFFFF)  # not a codepoint; joins docs in one array
 
 
@@ -422,6 +429,7 @@ def _select_rarest_classes(
         by_qb.setdefault((qid, branch), []).append((qid, cls, variants))
     picked: list[tuple[int, int, int, str]] = []
     dead: set[tuple[int, int]] = set()
+    cand_bound = 0
     for (qid, branch), cls_list in by_qb.items():
         scored = []
         for _, cls, variants in cls_list:
@@ -432,9 +440,14 @@ def _select_rarest_classes(
             scored.append((sum(df_map[v] for v in present), cls, present))
         else:
             scored.sort(key=lambda t: (t[0], t[1]))
+            # the branch's candidate count is bounded by its rarest class's
+            # df sum (the AND can only shrink it) — a free, sound upper
+            # bound on the verify-join's left side, already paid for by
+            # the dictionary lookup above
+            cand_bound += scored[0][0]
             for _, cls, present in scored[:max_grams]:
                 picked.extend((qid, branch, cls, v) for v in present)
-    return picked, dead
+    return picked, dead, cand_bound
 
 
 def _decoded_postings(
@@ -478,7 +491,15 @@ def _candidates_classes(
     count, union across branches by the final distinct; no driver-side
     doc lists.
 
-    The final exchange is an explicit ``repartition(P, doc_id)``
+    Returns ``(candidates, cand_bound)`` where ``cand_bound`` is a sound
+    driver-side upper bound on the candidate row count (sum over live
+    (query, branch) of the rarest class's df) — the verify-join gate below
+    picks its physical shape from it for free.
+
+    When the bound fits ``BROADCAST_CANDIDATE_ROWS`` the caller broadcasts
+    the candidate set into the corpus scan, so no exchange is needed here
+    at all (the verify runs at file-scan width).  On the fallback shuffle
+    path the final exchange is an explicit ``repartition(P, doc_id)``
     (REPARTITION_BY_NUM origin): a candidate row is two longs, so AQE's
     bytes-based partition coalescing would pack the whole set into one
     partition — but each row fans into a per-document content verify
@@ -489,10 +510,10 @@ def _candidates_classes(
     requirement, so this is the SAME single exchange the plan had, just
     non-coalescible.  Measured: the 10-needle case-insensitive batch at
     local[4] dropped 22s -> 9s once the verify ran wide."""
-    picked, dead = _select_rarest_classes(spark, paths, classes)
+    picked, dead, cand_bound = _select_rarest_classes(spark, paths, classes)
     live = [(q, b, c, v) for q, b, c, v in picked if (q, b) not in dead]
     if not live:
-        return spark.createDataFrame([], "query_id long, doc_id long")
+        return spark.createDataFrame([], "query_id long, doc_id long"), 0
     need = spark.createDataFrame(
         live, "query_id long, branch long, cls long, gram string"
     )
@@ -501,23 +522,24 @@ def _candidates_classes(
     )
     posts = _decoded_postings(spark, paths, [v for _, _, _, v in live])
     hits = posts.join(F.broadcast(need), "gram")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (
+    cand = (
         hits.groupBy("query_id", "branch", "doc_id")
         .agg(F.countDistinct("cls").alias("n_got"))
         .join(F.broadcast(n_req), ["query_id", "branch"])
         .filter(F.col("n_got") == F.col("n_req"))
         .select("query_id", "doc_id")
-        .repartition(n_parts, "doc_id")
-        .distinct()
     )
+    if cand_bound <= BROADCAST_CANDIDATE_ROWS:
+        return cand.distinct(), cand_bound
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return cand.repartition(n_parts, "doc_id").distinct(), cand_bound
 
 
 def _candidates(
     spark: SparkSession,
     paths: TrigramPaths,
     groups: list[tuple[int, int, list[str]]],
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Case-sensitive convenience wrapper: every gram is its own
     single-variant class."""
     classes = [
@@ -526,6 +548,18 @@ def _candidates(
         for i, g in enumerate(grams)
     ]
     return _candidates_classes(spark, paths, classes)
+
+
+def _verify_join(cand: DataFrame, cand_bound: int, base: DataFrame) -> DataFrame:
+    """Attach doc content to candidates for verification, choosing the
+    physical shape from the free driver-side bound: broadcast the candidate
+    set into the corpus scan when it provably fits (content bytes never
+    shuffle; verify runs map-side at scan width), else shuffle-join on
+    doc_id (both sides exchange; the pinned candidate repartition keeps the
+    verify stage wide)."""
+    if cand_bound <= BROADCAST_CANDIDATE_ROWS:
+        return base.join(F.broadcast(cand), "doc_id")
+    return cand.join(base, "doc_id")
 
 
 def grep_substring(
@@ -564,10 +598,10 @@ def grep_substring(
                 for q, s in prunable
                 for i, g in enumerate(_grams_of(s))
             ]
-        cand = _candidates_classes(spark, paths, classes)
+        cand, cand_bound = _candidates_classes(spark, paths, classes)
         ndf = spark.createDataFrame(prunable, "query_id long, needle string")
         parts.append(
-            cand.join(base, "doc_id")
+            _verify_join(cand, cand_bound, base)
             .join(F.broadcast(ndf), "query_id")
         )
     if fallback:
@@ -616,12 +650,12 @@ def grep_regex(
             for qid, _, groups in prunable
             for b, grams in enumerate(groups)
         ]
-        cand = _candidates(spark, paths, flat)
+        cand, cand_bound = _candidates(spark, paths, flat)
         pdf_ = spark.createDataFrame(
             [(q, p) for q, p, _ in prunable], "query_id long, pat string"
         )
         parts.append(
-            cand.join(base, "doc_id").join(F.broadcast(pdf_), "query_id")
+            _verify_join(cand, cand_bound, base).join(F.broadcast(pdf_), "query_id")
         )
     if fallback:
         pdf_ = spark.createDataFrame(fallback, "query_id long, pat string")

@@ -107,13 +107,14 @@ class TestSubstring:
         base = small_docs.select("doc_id", "content")
         text = base.limit(1).collect()[0]["content"]
         needle = text[5:35]
-        cand = _candidates(
+        cand, cand_bound = _candidates(
             spark, tri_index, [(1, 0, _grams_of(needle))]
         )
         n_cand = cand.count()
         n_true = base.filter(F.contains("content", F.lit(needle))).count()
         assert n_true >= 1
         assert n_cand <= max(5, 3 * n_true)  # tight over-approximation
+        assert cand_bound >= n_cand  # the driver-side bound is sound
         plan = spark.read.parquet(tri_index.postings).filter(
             F.col("gram").isin(_grams_of(needle)[:GRAMS_PER_NEEDLE])
         )._jdf.queryExecution().executedPlan().toString()
@@ -132,6 +133,33 @@ class TestSubstring:
         a = _rows(grep_substring(spark, p3, base, [(1, needle)]))
         b = _rows(grep_substring(spark, p11, base, [(1, needle)]))
         assert a == b and len(a) >= 1
+
+    def test_verify_join_gate(self, spark, small_docs, tri_index, monkeypatch):
+        """Candidate-bound gate: under the bound the corpus scan absorbs a
+        BROADCAST of the candidates (content never exchanges); forcing the
+        bound to 0 flips to the shuffle path — identical rows either way."""
+        import mtix_spark.index.trigram as T
+
+        base = small_docs.select("doc_id", "content")
+        needle = base.limit(1).collect()[0]["content"][5:25]
+
+        def plan_of(df):
+            return df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+
+        bcast = grep_substring(spark, tri_index, base, [(1, needle)])
+        p = plan_of(bcast)
+        assert "BroadcastHashJoin [doc_id" in p
+        assert "Exchange hashpartitioning(doc_id" not in p
+
+        monkeypatch.setattr(T, "BROADCAST_CANDIDATE_ROWS", 0)
+        shuf = grep_substring(spark, tri_index, base, [(1, needle)])
+        p2 = plan_of(shuf)
+        assert "Exchange hashpartitioning(doc_id" in p2  # pinned wide verify
+        assert _rows(bcast) == _rows(shuf) and len(_rows(bcast)) >= 1
 
 
 class TestCaseInsensitive:

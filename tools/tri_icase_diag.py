@@ -58,7 +58,7 @@ def main() -> None:
         for q, s in needles
         for i, g in enumerate(T._grams_of(s))
     ]
-    picked, dead = T._select_rarest_classes(spark, paths, classes)
+    picked, dead, _bound = T._select_rarest_classes(spark, paths, classes)
     grams = sorted({v for _, _, _, v in picked})
     out["n_grams_selected"] = len(grams)
     reads = spark.read.parquet(paths.postings).filter(
@@ -67,7 +67,7 @@ def main() -> None:
     out["postings_rows_matched"] = reads.count()
 
     t0 = time.time()
-    n = T._candidates_classes(spark, paths, classes).count()
+    n = T._candidates_classes(spark, paths, classes)[0].count()
     out["d2_candidates_s"] = round(time.time() - t0, 2)
     out["n_cand_icase"] = int(n)
 

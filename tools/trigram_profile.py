@@ -69,14 +69,14 @@ def main() -> None:
         for i, g in enumerate(T._grams_of(s))
     ]
     t0 = time.time()
-    picked, dead = T._select_rarest_classes(spark, paths, classes)
+    picked, dead, _bound = T._select_rarest_classes(spark, paths, classes)
     out["dict_job_s"] = round(time.time() - t0, 2)
     out["n_classes"] = len(classes)
     out["n_picked"] = len(picked)
 
     # 2. candidates only (postings decode + AND), no content verify
     t0 = time.time()
-    cand = T._candidates_classes(spark, paths, classes)
+    cand, _cb = T._candidates_classes(spark, paths, classes)
     n_cand = cand.count()
     out["candidates_s"] = round(time.time() - t0, 2)
     out["n_cand"] = int(n_cand)
