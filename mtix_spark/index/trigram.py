@@ -24,10 +24,15 @@ Query
 A needle of length >= 3 must contain every one of its trigrams, so any
 SUBSET of those trigrams gives a sound candidate over-approximation.  The
 query layer picks the ``GRAMS_PER_NEEDLE`` rarest grams (by dictionary
-df), AND-intersects their posting lists relationally (decode + explode
-only the selected lists — cost ∝ sum of matched posting lengths, never
-corpus size), then verifies ``contains``/``regexp_like`` on candidates
-only.  If any required gram is absent from the dictionary the needle
+df) and AND-intersects their posting lists SEGMENT-LOCALLY: segments are
+doc-range-disjoint, so each segment's numpy kernel (sorted-array
+union-within-class, ascending-size intersection across classes) produces
+its slice of the global candidate set with no exploded rows, no global
+shuffle, and no distinct — cost ∝ sum of selected posting lengths, never
+corpus size.  Verification (``contains``/``regexp_like``) then runs on
+candidates only, broadcast into the corpus scan when the free driver-side
+candidate bound fits (content bytes never shuffle), else via a
+width-pinned shuffle join.  If any required gram is absent from the dictionary the needle
 cannot match and the branch short-circuits to empty without touching the
 corpus.  Regex patterns go through a conservative mandatory-literal
 extraction per top-level alternation branch (literals inside groups,
@@ -450,37 +455,6 @@ def _select_rarest_classes(
     return picked, dead, cand_bound
 
 
-def _decoded_postings(
-    spark: SparkSession, paths: TrigramPaths, grams: list[str]
-) -> DataFrame:
-    """(gram, doc_id) for the selected grams only — the IN filter pushes
-    to the parquet scan (row-group pruning on gram min/max + dictionary),
-    so the read is ∝ matched posting bytes, never index size."""
-    rows = spark.read.parquet(paths.postings).filter(
-        F.col("gram").isin(sorted(set(grams)))
-    )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            outs_g, outs_d = [], []
-            for g, b in zip(pdf["gram"], pdf["doc_ids_bin"]):
-                ids = delta_decode(b)
-                outs_g.append(np.full(ids.size, g, dtype=object))
-                outs_d.append(ids.astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "gram": np.concatenate(outs_g),
-                    "doc_id": np.concatenate(outs_d),
-                }
-            )
-
-    return rows.select("gram", "doc_ids_bin").mapInPandas(
-        decode, "gram string, doc_id long"
-    )
-
-
 def _candidates_classes(
     spark: SparkSession,
     paths: TrigramPaths,
@@ -493,46 +467,84 @@ def _candidates_classes(
 
     Returns ``(candidates, cand_bound)`` where ``cand_bound`` is a sound
     driver-side upper bound on the candidate row count (sum over live
-    (query, branch) of the rarest class's df) — the verify-join gate below
-    picks its physical shape from it for free.
+    (query, branch) of the rarest class's df) — the verify-join gate
+    (``_verify_join``) picks its physical shape from it for free.
 
-    When the bound fits ``BROADCAST_CANDIDATE_ROWS`` the caller broadcasts
-    the candidate set into the corpus scan, so no exchange is needed here
-    at all (the verify runs at file-scan width).  On the fallback shuffle
-    path the final exchange is an explicit ``repartition(P, doc_id)``
-    (REPARTITION_BY_NUM origin): a candidate row is two longs, so AQE's
-    bytes-based partition coalescing would pack the whole set into one
-    partition — but each row fans into a per-document content verify
-    downstream (lower/contains/replace over the doc body), whose cost is
-    proportional to document bytes, not candidate bytes.  Pinning the
-    number keeps the verify stage at full width; hash-by-doc_id satisfies
-    both the distinct below (subset clustering) and the verify join's
-    requirement, so this is the SAME single exchange the plan had, just
-    non-coalescible.  Measured: the 10-needle case-insensitive batch at
-    local[4] dropped 22s -> 9s once the verify ran wide."""
+    The AND runs SEGMENT-LOCALLY: segments are doc-range-disjoint (built
+    exactly like the term index), so every gram's seg-local posting list
+    lives in the same ``seg=K`` partition, the intersection for each
+    (query, branch) can be computed inside one numpy kernel per segment,
+    and the union across segments is duplicate-free by construction — no
+    exploded (gram, doc) rows, no global count-distinct shuffle, no final
+    distinct.  The only exchange is the groupBy(seg) of the SELECTED
+    COMPRESSED posting blobs (∝ chosen-gram posting bytes, never index or
+    corpus size); within a segment, classes OR their ≤8 case variants via
+    sorted union and AND via ascending-size sorted intersection, so a rare
+    class short-circuits the whole branch.  Per-task memory is the decoded
+    selected postings of ONE segment — bounded by seg_size × the
+    ≤GRAMS_PER_NEEDLE selected (rarest) classes per branch, the same
+    task-memory contract as the positional index."""
     picked, dead, cand_bound = _select_rarest_classes(spark, paths, classes)
     live = [(q, b, c, v) for q, b, c, v in picked if (q, b) not in dead]
     if not live:
         return spark.createDataFrame([], "query_id long, doc_id long"), 0
-    need = spark.createDataFrame(
-        live, "query_id long, branch long, cls long, gram string"
+    # (query, branch) -> {cls -> [variant grams]} — small, closure-shipped
+    need: dict[tuple[int, int], dict[int, list[str]]] = {}
+    for q, b, c, v in live:
+        need.setdefault((q, b), {}).setdefault(c, []).append(v)
+    grams = sorted({v for _, _, _, v in live})
+    rows = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("gram").isin(grams))
+        .select("seg", "gram", "doc_ids_bin")
     )
-    n_req = need.groupBy("query_id", "branch").agg(
-        F.countDistinct("cls").alias("n_req")
-    )
-    posts = _decoded_postings(spark, paths, [v for _, _, _, v in live])
-    hits = posts.join(F.broadcast(need), "gram")
-    cand = (
-        hits.groupBy("query_id", "branch", "doc_id")
-        .agg(F.countDistinct("cls").alias("n_got"))
-        .join(F.broadcast(n_req), ["query_id", "branch"])
-        .filter(F.col("n_got") == F.col("n_req"))
-        .select("query_id", "doc_id")
-    )
-    if cand_bound <= BROADCAST_CANDIDATE_ROWS:
-        return cand.distinct(), cand_bound
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return cand.repartition(n_parts, "doc_id").distinct(), cand_bound
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_gram = {
+            g: delta_decode(b).astype(np.int64)
+            for g, b in zip(pdf["gram"], pdf["doc_ids_bin"])
+        }
+        per_query: dict[int, list[np.ndarray]] = {}
+        for (qid, _branch), cls_map in need.items():
+            arrs = []
+            for vs in cls_map.values():
+                lists = [by_gram[v] for v in vs if v in by_gram]
+                if not lists:
+                    arrs = None  # a whole class absent from this segment
+                    break
+                arrs.append(
+                    lists[0]
+                    if len(lists) == 1
+                    else np.unique(np.concatenate(lists))
+                )
+            if arrs is None:
+                continue
+            arrs.sort(key=len)
+            inter = arrs[0]
+            for a in arrs[1:]:
+                if inter.size == 0:
+                    break
+                inter = np.intersect1d(inter, a, assume_unique=True)
+            if inter.size:
+                per_query.setdefault(int(qid), []).append(inter)
+        if not per_query:
+            return pd.DataFrame({"query_id": [], "doc_id": []}).astype(
+                {"query_id": np.int64, "doc_id": np.int64}
+            )
+        qs_out, ds_out = [], []
+        for qid, parts_ in per_query.items():
+            docs_ = (
+                parts_[0] if len(parts_) == 1
+                else np.unique(np.concatenate(parts_))  # dedupe across branches
+            )
+            qs_out.append(np.full(docs_.size, qid, dtype=np.int64))
+            ds_out.append(docs_)
+        return pd.DataFrame(
+            {"query_id": np.concatenate(qs_out), "doc_id": np.concatenate(ds_out)}
+        )
+
+    cand = rows.groupBy("seg").applyInPandas(kern, "query_id long, doc_id long")
+    return cand, cand_bound
 
 
 def _candidates(
@@ -559,7 +571,14 @@ def _verify_join(cand: DataFrame, cand_bound: int, base: DataFrame) -> DataFrame
     verify stage wide)."""
     if cand_bound <= BROADCAST_CANDIDATE_ROWS:
         return base.join(F.broadcast(cand), "doc_id")
-    return cand.join(base, "doc_id")
+    # fallback: pin the candidate exchange width (REPARTITION_BY_NUM origin)
+    # — a candidate row is two longs, so AQE's bytes-based coalescing would
+    # pack the set into one partition, but each row fans into a per-document
+    # content verify whose cost tracks document bytes, not candidate bytes
+    n_parts = int(
+        cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return cand.repartition(n_parts, "doc_id").join(base, "doc_id")
 
 
 def grep_substring(
