@@ -3488,6 +3488,384 @@ WITH toks AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 batch 2: code-identifier analyzer, multi_match cross_fields,
+# match_phrase_prefix (relational + positional index), term vectors,
+# gauss-decay function score
+# ---------------------------------------------------------------------------
+
+# deterministic code-shaped derivation: PascalCase-join each doc's words into
+# one identifier, mirrored Spark <-> DuckDB so the analyzer entries are
+# value-checkable on the driver tables (the sf corpus is prose-shaped; the
+# analyzer's target per BASELINE.json:input_hint is source code)
+CAMEL_CODE_SPARK = (
+    "concat_ws('', transform(split(text, ' '), "
+    "w -> concat(ucase(left(w, 1)), substr(w, 2))))"
+)
+CAMEL_CODE_SQL = (
+    "list_aggregate(list_transform(string_split(text, ' '), "
+    "w -> concat(upper(w[1]), w[2:])), 'string_agg', '')"
+)
+# mixed identifier styles on the query side — all normalize to the same
+# subtokens via ident_tokenize_py, which is the point of the analyzer
+IDENT_QUERIES = [
+    (1, "hashJoin"),
+    (2, "TableScan fast"),
+    (3, "rowValue part"),
+    (4, "MergeBatch"),
+    (5, "SLOW_QUERY agg key"),
+]
+
+
+def _with_code(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("code", F.expr(CAMEL_CODE_SPARK))
+
+
+def q_ident_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-identifier analyzer (functions.text.ident_tokenize): camelCase /
+    PascalCase / snake_case / dotted identifiers split into lowercase
+    subtokens — the identifier-splitting rule of every code-search engine.
+    Output is the (doc_id, term, tf) relation the analyzer would feed the
+    index builder; corpus code text is derived deterministically
+    (CAMEL_CODE_SPARK/_SQL keep both engines byte-identical)."""
+    from mtix_spark.functions.text import ident_tokenize
+
+    docs = _with_code(_tbl(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.explode(ident_tokenize(F.col("code"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _ident_exp() -> list[tuple[int, str]]:
+    from mtix_spark.functions.text import ident_tokenize_py
+
+    return [
+        (q, t)
+        for q, text in IDENT_QUERIES
+        for t in sorted(set(ident_tokenize_py(text)))
+    ]
+
+
+def q_ident_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search through the identifier analyzer: `hashJoin`, `HASH_JOIN`
+    and `hash join` are the same query, and camelCase corpus identifiers
+    match word queries — expanded_bm25 with tokenizer=ident_tokenize (the
+    analyzer is a Column fn, so the whole scoring path stays the standard
+    pushed-down relational plan)."""
+    from mtix_spark.expand import expanded_bm25
+    from mtix_spark.functions.text import ident_tokenize
+
+    docs = _with_code(_tbl(spark, sf_dir, "documents"))
+    exp = spark.createDataFrame(_ident_exp(), "query_id long, term string")
+    out = expanded_bm25(
+        docs, exp, k=TOPK, text_col="code", tokenizer=ident_tokenize
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _ident_oracle_ctes() -> str:
+    from mtix_spark.functions.text import IDENT_TOK_SQL_DUCKDB
+
+    itok = IDENT_TOK_SQL_DUCKDB.format(col="code")
+    return f"""code AS (
+  SELECT doc_id, {CAMEL_CODE_SQL} AS code FROM documents
+),
+toks AS (SELECT doc_id, unnest({itok}) AS term FROM code),
+idl AS (SELECT doc_id, len({itok})::DOUBLE AS dl FROM code)"""
+
+
+def _ident_tokens_oracle() -> str:
+    return f"""
+WITH {_ident_oracle_ctes()}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+"""
+
+
+def _ident_match_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _ident_exp())
+    return f"""
+WITH {_ident_oracle_ctes()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM code)::BIGINT AS n,
+         (SELECT avg(dl) FROM idl) AS avgdl
+),
+exp(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM exp) GROUP BY 1
+),
+scored AS (
+  SELECT e.query_id, tf.doc_id,
+         round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))), 6) AS score
+  FROM (SELECT DISTINCT query_id, term FROM exp) e
+  JOIN tf USING (term)
+  JOIN dfreq d USING (term)
+  JOIN idl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match cross_fields: TERM-centric blending across (text, source)
+    — blended df (max over fields) feeds one idf per term; each field keeps
+    its own length normalization; per-term field scores combine dis_max-
+    style, then sum over terms (expand._multi_match_cross)."""
+    from mtix_spark.expand import multi_match_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = multi_match_topk(
+        docs, MM_FIELDS, BM25F_QUERIES, mode="cross_fields",
+        tie_breaker=DIS_MAX_TIE, k=TOPK,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _multi_match_cross_oracle() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _mm_terms())
+    tok_t, tok_s = TOK.format(c="text"), TOK.format(c="source")
+    tfpart = f"(tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / av.a))"
+
+    def leg(tag: str) -> str:
+        return f"""leg_{tag} AS (
+  SELECT e.query_id, tf.doc_id, tf.term,
+         ln(1.0 + (n.n - b.df + 0.5) / (b.df + 0.5)) * {tfpart} AS s
+  FROM exp e
+  JOIN tf_{tag} tf USING (term)
+  JOIN dfb b USING (term)
+  JOIN dl_{tag} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN av_{tag} av CROSS JOIN n
+)"""
+
+    return f"""
+WITH exp(query_id, term) AS (VALUES {vals}),
+tt AS (SELECT doc_id, unnest({tok_t}) AS term FROM documents),
+ts AS (SELECT doc_id, unnest({tok_s}) AS term FROM documents),
+tf_t AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tt GROUP BY 1, 2),
+tf_s AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ts GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, len({tok_t})::DOUBLE AS dl FROM documents),
+dl_s AS (SELECT doc_id, len({tok_s})::DOUBLE AS dl FROM documents),
+av_t AS (SELECT avg(dl) AS a FROM dl_t),
+av_s AS (SELECT avg(dl) AS a FROM dl_s),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+df_t AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf_t
+  WHERE term IN (SELECT term FROM exp) GROUP BY 1
+),
+df_s AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf_s
+  WHERE term IN (SELECT term FROM exp) GROUP BY 1
+),
+dfb AS (
+  SELECT term, max(df)::BIGINT AS df
+  FROM (SELECT * FROM df_t UNION ALL SELECT * FROM df_s) GROUP BY 1
+),
+{leg('t')},
+{leg('s')},
+allc AS (SELECT * FROM leg_t UNION ALL SELECT * FROM leg_s),
+pt AS (
+  SELECT query_id, doc_id, term,
+         max(s) + {DIS_MAX_TIE} * (sum(s) - max(s)) AS c
+  FROM allc GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score FROM pt GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+# last token is a PREFIX; MAX_EXP deliberately small so the lexicographic
+# expansion cap (Lucene max_expansions term-order semantics) actually binds
+# on the sf vocabulary; query 5's tail is OOV (empty expansion -> no rows)
+PREFIX_PHRASES = [
+    (1, "table ha"),
+    (2, "part fil"),
+    (3, "part filter sc"),
+    (4, "val"),
+    (5, "table zzqq"),
+]
+PREFIX_MAX_EXP = 3
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix, relational path: exact adjacency chain on all
+    but the last token, which matches the first PREFIX_MAX_EXP vocabulary
+    terms (term order) with that prefix
+    (index.positions.phrase_prefix_relational)."""
+    from mtix_spark.index.positions import phrase_prefix_relational
+
+    docs = _tbl(spark, sf_dir, "documents")
+    outs = []
+    for qid, ph in PREFIX_PHRASES:
+        m = phrase_prefix_relational(
+            docs, ph, max_expansions=PREFIX_MAX_EXP, id_col="doc_id", text_col="text"
+        )
+        outs.append(
+            m.select(F.lit(qid).cast("long").alias("query_id"), "doc_id", "n_occ")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def q_phrase_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix via the PHYSICAL positional index: the prefix
+    expands against the index DICTIONARY (never the corpus), expansions ride
+    one positional phrase kernel call, counts sum per (query, doc). Shares
+    the relational oracle — dictionary terms ARE the corpus vocabulary."""
+    from mtix_spark.index.positions import phrase_prefix_topk
+
+    paths = _docs_index(spark, sf_dir, positions=True)
+    res = phrase_prefix_topk(
+        spark, paths, PREFIX_PHRASES, max_expansions=PREFIX_MAX_EXP, k=2**31 - 1
+    )
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "n_occ")
+    )
+
+
+def _phrase_prefix_oracle() -> str:
+    toks = TOK.format(c="text")
+    ctes, parts = [], []
+    for qid, ph in PREFIX_PHRASES:
+        words = [w for w in re.split("[^a-z0-9_]+", ph.lower()) if w]
+        prefix = words[-1]
+        ctes.append(
+            f"exp_q{qid} AS (SELECT term FROM vocab "
+            f"WHERE starts_with(term, '{prefix}') ORDER BY term LIMIT {PREFIX_MAX_EXP})"
+        )
+        n = len(words)
+        if n == 1:
+            parts.append(
+                f"SELECT {qid}::BIGINT AS query_id, doc_id, count(*)::BIGINT AS n_occ\n"
+                f"FROM toks WHERE term IN (SELECT term FROM exp_q{qid}) GROUP BY 1, 2"
+            )
+            continue
+        joins = "\n".join(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+            f"AND t{j}.term = '{w}'"
+            for j, w in enumerate(words[1:-1], start=1)
+        )
+        joins += (
+            f"\nJOIN toks t{n - 1} ON t{n - 1}.doc_id = t0.doc_id "
+            f"AND t{n - 1}.pos = t0.pos + {n - 1} "
+            f"AND t{n - 1}.term IN (SELECT term FROM exp_q{qid})"
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS n_occ\n"
+            f"FROM toks t0 {joins}\nWHERE t0.term = '{words[0]}' GROUP BY 1, 2"
+        )
+    cte_body = ",\n".join(ctes)
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {toks} AS l FROM documents)
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+{cte_body}
+{body}
+"""
+
+
+TV_DOC_IDS = [0, 1, 2, 3, 4]
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vectors (the ES _termvectors API): distinct terms
+    of the requested docs with tf and corpus df — a point-lookup API (only
+    the requested docs tokenize for tf; df is a bounded dictionary fetch),
+    unlike tf_postings, which is the corpus-wide build relation
+    (expand.term_vectors)."""
+    from mtix_spark.expand import term_vectors
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return term_vectors(docs, TV_DOC_IDS).select("doc_id", "term", "tf", "df")
+
+
+def _term_vectors_oracle() -> str:
+    toks = TOK.format(c="text")
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE doc_id IN ({ids}) GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+  WHERE term IN (SELECT term FROM tf) GROUP BY 1
+)
+SELECT tf.doc_id, tf.term, tf.tf, d.df FROM tf JOIN dfreq d USING (term)
+"""
+
+
+# gauss decay: factor = decay^(((n_chars - origin)/scale)^2) — the ES
+# decay_function contract (factor = DECAY_AT_SCALE exactly at origin±scale)
+DECAY_ORIGIN, DECAY_SCALE, DECAY_AT_SCALE = 250.0, 200.0, 0.5
+
+
+def q_decay_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score with a gauss decay on a numeric field (ES decay
+    functions — recency/size priors): BM25 × exp(ln(decay)·((n_chars −
+    origin)/scale)²), re-ranked after the boost. The decay factor is
+    bounded by 1 (its value at origin), so the index twin's boost-aware
+    MaxScore bound is UB·1 — the same argument as function_score_index."""
+    import math
+
+    from mtix_spark.expand import function_score_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    factor = F.exp(
+        F.lit(math.log(DECAY_AT_SCALE))
+        * F.pow((F.col("n_chars") - F.lit(DECAY_ORIGIN)) / F.lit(DECAY_SCALE), F.lit(2.0))
+    )
+    out = function_score_topk(docs, FIXED_QUERIES, factor=factor, k=TOPK)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _decay_gauss_oracle() -> str:
+    import math
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _q_terms())
+    cte = f"exp(query_id, term) AS (VALUES {vals})"
+    return _expanded_bm25_oracle(
+        cte,
+        boost_expr=(
+            f"exp({math.log(DECAY_AT_SCALE)!r} * "
+            f"pow((doc.n_chars - {DECAY_ORIGIN}) / {DECAY_SCALE}, 2))"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3507,6 +3885,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r04 (CORRECTNESS_r04.json 48/50 hash-exact + 2 rows-only) or r03, and
     # the whole registry is re-verified via tools/check_oracles.py each round.
     return {
+        # new r05 batch 2 (never driver-checked — window head): identifier
+        # analyzer, cross_fields, phrase prefix (relational + index), term
+        # vectors, gauss decay; displaces 7 more r03-proven keys past the
+        # 50-key cut (all full-registry-sweep green on this tree —
+        # tools/oracle_sweep_r5.txt)
+        "ident_tokens": q_ident_tokens,
+        "ident_match": q_ident_match,
+        "multi_match_cross": q_multi_match_cross,
+        "phrase_prefix": q_phrase_prefix,
+        "phrase_prefix_index": q_phrase_prefix_index,
+        "term_vectors": q_term_vectors,
+        "decay_gauss": q_decay_gauss,
         # new r05 capability: trigram substring/regex grep (index.trigram),
         # leading the window so the driver value-checks it immediately
         "trigram_postings": q_trigram_postings,
@@ -3695,6 +4085,13 @@ def oracle_sql() -> dict[str, str]:
         )
     perc_phrase_v = ", ".join(pp)
     return {
+        "ident_tokens": _ident_tokens_oracle(),
+        "ident_match": _ident_match_oracle(),
+        "multi_match_cross": _multi_match_cross_oracle(),
+        "phrase_prefix": _phrase_prefix_oracle(),
+        "phrase_prefix_index": _phrase_prefix_oracle(),
+        "term_vectors": _term_vectors_oracle(),
+        "decay_gauss": _decay_gauss_oracle(),
         "trigram_postings": """
 SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM (
   SELECT doc_id, substr(text, i, 3) AS gram

@@ -76,6 +76,10 @@ SUITE = [
     "trigram_postings", "grep_substring", "grep_regex", "grep_icase",
     # r05 addition — percolator (reverse search: stored queries vs doc stream)
     "percolate_terms", "percolate_phrase",
+    # r05 batch 2 — identifier analyzer, cross_fields blending, phrase
+    # prefix (relational + positional index), term vectors, gauss decay
+    "ident_match", "multi_match_cross", "phrase_prefix",
+    "phrase_prefix_index", "term_vectors", "decay_gauss",
 ]
 
 

@@ -125,21 +125,24 @@ def _term_contribs(
     expanded: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=tokenize,
 ) -> DataFrame:
     """(query_id, doc_id, term, contrib): the per-matched-term BM25
     contribution relation behind every expanded scorer — tf semi-joined
     against the (tiny, broadcast) expansion, per-term idf, corpus-global
     dl/avgdl. `expanded_bm25` sums it; `dis_max_topk` takes max + tie-sum
     over it. At the physical index this is exactly the pushed-down posting
-    fetch before accumulation."""
+    fetch before accumulation. `tokenizer` swaps the analyzer (a Column fn
+    text -> array<string>, default functions.text.tokenize; e.g.
+    ident_tokenize for code-identifier search)."""
     tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenizer(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).cast("double").alias("dl"),
+        F.size(tokenizer(F.col(text_col))).cast("double").alias("dl"),
     )
     n_docs = docs.count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
@@ -173,6 +176,7 @@ def expanded_bm25(
     text_col: str = "text",
     exclude_query_doc: bool = False,
     min_match: int = 1,
+    tokenizer=tokenize,
 ) -> DataFrame:
     """Disjunctive BM25 over an (query_id, term) expansion relation.
 
@@ -190,7 +194,7 @@ def expanded_bm25(
     (doc, term). The physical twin is SegmentSearcher.search(min_match=m).
     """
     scored = (
-        _term_contribs(docs, expanded, id_col, text_col)
+        _term_contribs(docs, expanded, id_col, text_col, tokenizer=tokenizer)
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
@@ -787,6 +791,7 @@ def multi_match_topk(
 
         best_fields : max_f s_f + tie_breaker · (Σ_f s_f − max_f s_f)
         most_fields : Σ_f s_f
+        cross_fields: term-centric blending — see _multi_match_cross
 
     Plan shape: one expanded-BM25 leg per field (each the standard pushed-
     down term fetch), legs unioned and combined by ONE (query, doc)
@@ -795,12 +800,16 @@ def multi_match_topk(
     per field. Per-field scores round to 6 before combining (each leg is
     an engine-boundary quantity), final score re-rounds — the SQL twin
     mirrors both roundings. Returns (query_id, rank, doc_id, score)."""
-    if mode not in ("best_fields", "most_fields"):
-        raise ValueError(f"mode must be best_fields|most_fields, got {mode!r}")
+    if mode not in ("best_fields", "most_fields", "cross_fields"):
+        raise ValueError(
+            f"mode must be best_fields|most_fields|cross_fields, got {mode!r}"
+        )
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     if not fields:
         raise ValueError("multi_match needs at least one field")
+    if mode == "cross_fields":
+        return _multi_match_cross(docs, fields, queries, tie_breaker, k, id_col)
     spark = docs.sparkSession
     exp = _expand_query_terms(spark, queries)
     legs = [
@@ -827,6 +836,142 @@ def multi_match_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _multi_match_cross(
+    docs: DataFrame,
+    fields: list[str],
+    queries: list[tuple[int, str]],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """multi_match cross_fields (Lucene BlendedTermQuery): TERM-centric
+    blending, the mode for entities split across fields (first/last name,
+    path/content). Where best_fields combines whole per-field QUERY scores,
+    cross_fields blends each TERM across fields:
+
+      - blended df(t) = max_f df_f(t); idf from it with the corpus N —
+        a term's rarity cannot be understated because it lives mostly in
+        one field (Lucene blends term stats for exactly this reason)
+      - s_{t,f}(d)    = idf_blend(t) · tf-saturation with FIELD-local
+        tf/dl/avgdl (each field keeps its own length normalization)
+      - contrib(t,d)  = max_f s_{t,f} + tie_breaker · (Σ_f s_{t,f} − max_f)
+      - score(q,d)    = round(Σ_t contrib, 6)
+
+    Plan shape: per field, tf semi-joined against the broadcast expansion
+    (the same pushed-down fetch as every leg); per-field dfs union into the
+    blended dictionary (broadcast — it is |query terms| rows); legs union
+    into one (query, doc, term) aggregation then one (query, doc)
+    aggregation. Nothing corpus-global shuffles beyond the per-field tf
+    builds the other modes already pay."""
+    spark = docs.sparkSession
+    exp = _expand_query_terms(spark, queries).distinct()
+    terms_only = exp.select("term").distinct()
+    n_docs = docs.count()
+
+    legs, dfs = [], []
+    for f in fields:
+        tf = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokenize(F.col(f))).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dl = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize(F.col(f))).cast("double").alias("dl"),
+        )
+        avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+        dfs.append(
+            tf.join(F.broadcast(terms_only), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        legs.append(
+            tf.join(F.broadcast(exp), "term")
+            .join(dl, "doc_id")
+            .select(
+                "query_id",
+                "doc_id",
+                "term",
+                (
+                    (F.col("tf") * (K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("tfpart"),
+            )
+        )
+    dfb = dfs[0]
+    for d in dfs[1:]:
+        dfb = dfb.unionByName(d)
+    dfb = dfb.groupBy("term").agg(F.max("df").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    allc = allc.join(F.broadcast(dfb), "term").withColumn(
+        "s", idf * F.col("tfpart")
+    )
+    per_term = allc.groupBy("query_id", "doc_id", "term").agg(
+        (
+            F.max("s")
+            + F.lit(float(tie_breaker)) * (F.sum("s") - F.max("s"))
+        ).alias("c")
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), SCORE_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def term_vectors(
+    docs: DataFrame,
+    doc_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document term vectors (the Elasticsearch _termvectors API /
+    Lucene TermVectors): for each requested doc, its distinct terms with
+    term frequency and corpus document frequency.
+
+    Plan shape: tf tokenizes only the requested docs (the doc-id IN filter
+    is pushed to the scan); df is the corpus dictionary restricted by a
+    broadcast semi-join to those docs' terms — the same bounded dictionary
+    fetch the suggesters use. Returns (doc_id, term, tf, df)."""
+    wanted = docs.filter(F.col(id_col).isin([int(d) for d in doc_ids]))
+    tf = (
+        wanted.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus_tf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    dfreq = (
+        corpus_tf.join(
+            F.broadcast(tf.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(F.broadcast(dfreq), "term").select("doc_id", "term", "tf", "df")
 
 
 def rescore_topk(

@@ -54,6 +54,50 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+# Code-identifier analyzer: camelCase / PascalCase / SCREAMING_SNAKE /
+# snake_case / dotted.paths all normalize to their lowercase subtokens, so a
+# query for "max score" matches `maxScore`, `MAX_SCORE` and `max_score` —
+# the identifier-splitting rule every code-search engine ships (the corpus
+# per BASELINE.json:input_hint is source code). Two camel boundaries are
+# materialized as spaces, then the stream splits on non-alphanumerics
+# (underscore is a SEPARATOR here, unlike `tokenize`, which keeps it):
+#   1. acronym end:  ([A-Z]+)([A-Z][a-z])  HTTPServer -> HTTP Server
+#   2. case rise:    ([a-z0-9])([A-Z])     fooBar, utf8Name -> foo Bar, utf8 Name
+# Order matters: rule 1 must run before rule 2 so acronyms keep their tail.
+IDENT_CAMEL_ACRONYM_RE = "([A-Z]+)([A-Z][a-z])"
+IDENT_CAMEL_RISE_RE = "([a-z0-9])([A-Z])"
+IDENT_SPLIT_RE = "[^a-z0-9]+"
+# DuckDB mirror (RE2 backrefs are \1 \2); kept adjacent so they can't drift.
+IDENT_TOK_SQL_DUCKDB = (
+    "list_filter(string_split_regex(lower("
+    "regexp_replace(regexp_replace({col}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+    " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')"
+    "), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def ident_tokenize(col: Column | str) -> Column:
+    """identifier/code text -> array<string> of lowercase subtokens.
+
+    Pure Catalyst expression (two regexp_replace + lower + split + filter),
+    same zero-Python-per-row contract as `tokenize`; usable anywhere a
+    tokenizer Column fn is accepted (e.g. expand.expanded_bm25(tokenizer=))."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, IDENT_CAMEL_ACRONYM_RE, r"$1 $2")
+    c = F.regexp_replace(c, IDENT_CAMEL_RISE_RE, r"$1 $2")
+    arr = F.split(F.lower(c), IDENT_SPLIT_RE)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def ident_tokenize_py(s: str) -> list[str]:
+    """Driver-side twin of `ident_tokenize` (query normalization + tests)."""
+    import re
+
+    s = re.sub(IDENT_CAMEL_ACRONYM_RE, r"\1 \2", s)
+    s = re.sub(IDENT_CAMEL_RISE_RE, r"\1 \2", s)
+    return [t for t in re.split(IDENT_SPLIT_RE, s.lower()) if t]
+
+
 def language_id(col: Column | str) -> Column:
     """N-gram-free heuristic language ID: score each language by its
     function-word hit count over the token set; ties/zero -> 'und'.

@@ -698,6 +698,129 @@ def phrase_match_relational(
     return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
 
 
+def phrase_prefix_relational(
+    docs: DataFrame,
+    phrase: str,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """match_phrase_prefix (Elasticsearch): exact phrase on every token but
+    the LAST, which matches any vocabulary term with that prefix. The
+    expansion set is the first `max_expansions` prefix-matching terms in
+    lexicographic order — Lucene's term-dictionary enumeration order and
+    cap (max_expansions=50 default), so the relational path, the index
+    path (`phrase_prefix_topk` expands from the SAME dictionary relation)
+    and the SQL oracle agree exactly.
+
+    Counting matches phrase_match_relational's: one match per anchor
+    position — each anchor's final slot holds exactly one term, so the
+    per-expansion counts are disjoint and sum cleanly. Returns
+    (doc_id, n_occ)."""
+    import re
+
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+    assert toks, "empty phrase"
+    prefix = toks[-1]
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    expansions = (
+        stream.select("term")
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+        .orderBy("term")
+        .limit(int(max_expansions))
+    )
+    last = stream.join(F.broadcast(expansions), "term").select(
+        F.col("doc_id").alias("d"), F.col("pos").alias("pl")
+    )
+    n = len(toks)
+    if n == 1:
+        return last.groupBy(F.col("d").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_occ")
+        )
+    base = stream.filter(F.col("term") == toks[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for j, t in enumerate(toks[1:-1], start=1):
+        nxt = stream.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d"), F.col("pos").alias(f"p{j}")
+        )
+        base = base.join(
+            nxt,
+            (base["doc_id"] == nxt["d"]) & (nxt[f"p{j}"] == base["p0"] + F.lit(j)),
+        ).drop("d", f"p{j}")
+    base = base.join(
+        last,
+        (base["doc_id"] == last["d"]) & (last["pl"] == base["p0"] + F.lit(n - 1)),
+    ).drop("d", "pl")
+    return base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[tuple[int, str]],
+    max_expansions: int = 50,
+    k: int = 100,
+) -> DataFrame:
+    """match_phrase_prefix over the PHYSICAL index: the last token expands
+    against the index DICTIONARY (prefix range scan, term-order cap at
+    max_expansions — a serving system never touches the corpus for this),
+    then every expansion runs through the positional phrase kernel and the
+    per-expansion counts sum per (query, doc).
+
+    Cost class: ≤ max_expansions phrase verifications per query, each the
+    usual pushed-down positions fetch; expansions ride ONE phrase_topk
+    call (composite query ids), so the positions relation scans once with
+    one IN-filter over all expanded tails."""
+    import re
+
+    from mtix_spark.index.build import read_dictionary
+
+    qtoks = []
+    for qid, text in queries:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+        if toks:
+            qtoks.append((qid, toks))
+    empty = spark.createDataFrame([], "query_id long, doc_id long, n_occ long")
+    if not qtoks:
+        return empty
+    if any(q < 0 for q, _ in qtoks):
+        raise ValueError("phrase_prefix_topk needs nonneg query ids (composite packing)")
+    if not 0 < max_expansions <= 1000:
+        raise ValueError("max_expansions must be in (0, 1000] (composite packing)")
+    vocab = read_dictionary(spark, paths).select("term")
+    sub_queries: list[tuple[int, str]] = []
+    for qid, toks in qtoks:
+        exps = [
+            r["term"]
+            for r in vocab.filter(F.col("term").startswith(toks[-1]))
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        ]
+        for j, e in enumerate(exps):
+            sub_queries.append((qid * 1000 + j, " ".join(toks[:-1] + [e])))
+    if not sub_queries:
+        return empty
+    assert len({j for j, _ in sub_queries}) == len(sub_queries)
+    sub = phrase_topk(spark, paths, sub_queries, k=2**31 - 1)
+    agg = (
+        sub.withColumn("query_id", F.floor(F.col("query_id") / 1000).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("n_occ").alias("n_occ"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        agg.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SpanNear: n-term ordered proximity with slop (Lucene SpanNearQuery)
 # ---------------------------------------------------------------------------

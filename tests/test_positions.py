@@ -295,6 +295,91 @@ def test_positional_query_raises_on_positionless_segments(spark, small_docs, tmp
         span_near_topk(spark, idx, [(1, ["a", "b"], 2)], k=5).collect()
 
 
+def test_phrase_prefix_relational_semantics(spark):
+    """match_phrase_prefix: exact chain on the head tokens, the last token
+    expands to the first max_expansions vocabulary terms (LEXICOGRAPHIC
+    order — the cap must bite deterministically), one count per anchor."""
+    from mtix_spark.index.positions import phrase_prefix_relational
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha betty"),
+            (2, "alpha beast alpha beta"),
+            (3, "beta alpha"),
+            (4, "alphabet beta"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab prefix 'be' -> beast, beta, betty; cap 2 keeps {beast, beta}:
+    # doc1's "alpha betty" must NOT match (betty is past the cap), and
+    # doc4's "alphabet beta" must not match (head token is exact)
+    got = {
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_prefix_relational(
+            docs, "alpha be", max_expansions=2, text_col="text"
+        ).collect()
+    }
+    assert got == {(0, 1), (2, 2)}
+    # cap 3 admits betty
+    got3 = {
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_prefix_relational(
+            docs, "alpha be", max_expansions=3, text_col="text"
+        ).collect()
+    }
+    assert got3 == {(0, 1), (1, 1), (2, 2)}
+    # single-token prefix = capped prefix query counting occurrences
+    got1 = {
+        (r["doc_id"], r["n_occ"])
+        for r in phrase_prefix_relational(
+            docs, "be", max_expansions=2, text_col="text"
+        ).collect()
+    }
+    assert got1 == {(0, 1), (2, 2), (3, 1), (4, 1)}
+    # OOV prefix -> empty
+    assert (
+        phrase_prefix_relational(docs, "alpha zzz", max_expansions=2, text_col="text").count()
+        == 0
+    )
+
+
+def test_phrase_prefix_index_matches_relational(spark, small_docs, small_index):
+    """Index path (dictionary expansion + positional kernel) must agree
+    row-for-row with the relational twin on the synthetic corpus."""
+    import re
+
+    from mtix_spark.index.positions import (
+        build_positions,
+        phrase_prefix_relational,
+        phrase_prefix_topk,
+    )
+
+    build_positions(spark, small_docs, small_index)
+    row = small_docs.select("content").first()
+    toks = [t for t in re.split("[^a-z0-9_]+", row["content"].lower()) if t]
+    qs = [
+        (1, f"{toks[0]} {toks[1][:2]}"),   # 2-token, prefix tail
+        (2, toks[0][:3]),                   # single prefix token
+        (3, f"{toks[0]} zz_absent"),        # OOV tail -> empty
+    ]
+    idx = sorted(
+        (r["query_id"], r["doc_id"], r["n_occ"])
+        for r in phrase_prefix_topk(
+            spark, small_index, qs, max_expansions=5, k=2**31 - 1
+        ).collect()
+    )
+    rel = []
+    for qid, ph in qs:
+        rel += [
+            (qid, r["doc_id"], r["n_occ"])
+            for r in phrase_prefix_relational(
+                small_docs, ph, max_expansions=5, text_col="content"
+            ).collect()
+        ]
+    assert idx == sorted(rel) and idx
+
+
 def test_term_snippets_picks_densest_window(spark):
     from mtix_spark.index.positions import term_snippets
 
