@@ -3619,6 +3619,49 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _docs_ident_index(spark: SparkSession, sf_dir: str):
+    """Segment index over the IDENT-NORMALIZED documents corpus (content =
+    ident_normalize(code) — tokenize∘normalize ≡ ident_tokenize, so the
+    standard build kernel produces an identifier-analyzed index). Cached
+    per (session, sf_dir) like _docs_index; read-only consumers only."""
+    from mtix_spark.functions.text import ident_normalize
+    from mtix_spark.index.build import assign_doc_ids, build_index
+
+    key = ("ident", sf_dir, spark.sparkContext.applicationId)
+    cached = _IDX_CACHE.get(key)
+    if cached is not None:
+        return cached[0]
+    docs = _with_code(_tbl(spark, sf_dir, "documents"))
+    corpus = docs.select(
+        F.lit("documents").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        ident_normalize(F.col("code")).alias("content"),
+    )
+    with_ids = assign_doc_ids(corpus, 8)
+    idx_dir = tempfile.mkdtemp(prefix="mtix_ident_idx_")
+    paths = build_index(spark, with_ids, idx_dir, n_segments=4)
+    _IDX_CACHE[key] = (paths, False, with_ids)
+    return paths
+
+
+def q_ident_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-analyzed search via the PHYSICAL index: the corpus is
+    indexed through ident_normalize (so `maxScore`/`MAX_SCORE`/`max score`
+    unify at BUILD time), queries normalize driver-side through the same
+    analyzer twin, and the MaxScore kernel answers as usual. Shares
+    ident_match's oracle — the analyzer must behave identically at the
+    relational layer, the physical layer, and in SQL."""
+    from mtix_spark.functions.text import ident_tokenize_py
+    from mtix_spark.index.search import bm25_topk_segments
+
+    paths = _docs_ident_index(spark, sf_dir)
+    qs = [(qid, " ".join(ident_tokenize_py(t))) for qid, t in IDENT_QUERIES]
+    res = bm25_topk_segments(spark, paths, qs, k=TOPK * 5)
+    return _remap_rerank(spark, paths, res, k=TOPK)
+
+
 def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match cross_fields: TERM-centric blending across (text, source)
     — blended df (max over fields) feeds one idf per term; each field keeps
@@ -3892,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/oracle_sweep_r5.txt)
         "ident_tokens": q_ident_tokens,
         "ident_match": q_ident_match,
+        "ident_index": q_ident_index,
         "multi_match_cross": q_multi_match_cross,
         "phrase_prefix": q_phrase_prefix,
         "phrase_prefix_index": q_phrase_prefix_index,
@@ -4087,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ident_tokens": _ident_tokens_oracle(),
         "ident_match": _ident_match_oracle(),
+        "ident_index": _ident_match_oracle(),
         "multi_match_cross": _multi_match_cross_oracle(),
         "phrase_prefix": _phrase_prefix_oracle(),
         "phrase_prefix_index": _phrase_prefix_oracle(),

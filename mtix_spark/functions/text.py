@@ -89,6 +89,21 @@ def ident_tokenize(col: Column | str) -> Column:
     return F.filter(arr, lambda t: t != F.lit(""))
 
 
+def ident_normalize(col: Column | str) -> Column:
+    """Code text -> space-separated identifier subtoken stream (case kept;
+    the tokenizer lowers it): the pre-transform under which the STANDARD
+    index tokenizer emits exactly ident_tokenize's stream —
+    tokenize(ident_normalize(c)) ≡ ident_tokenize(c) (property-tested) —
+    so a physical segment index built over the normalized column IS an
+    identifier-analyzed index, with zero build/query kernel changes.
+    The '_' -> ' ' rewrite is what reconciles the two split alphabets
+    (tokenize keeps '_'; the identifier analyzer treats it as a separator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, IDENT_CAMEL_ACRONYM_RE, r"$1 $2")
+    c = F.regexp_replace(c, IDENT_CAMEL_RISE_RE, r"$1 $2")
+    return F.regexp_replace(c, "_", " ")
+
+
 def ident_tokenize_py(s: str) -> list[str]:
     """Driver-side twin of `ident_tokenize` (query normalization + tests)."""
     import re

@@ -65,6 +65,25 @@ def test_ident_tokenize_duckdb_mirror_matches():
         assert list(got) == want, s
 
 
+def test_ident_normalize_composes_with_standard_tokenizer(spark):
+    """tokenize(ident_normalize(c)) must equal ident_tokenize(c) — this
+    identity is what lets the UNCHANGED index build kernel produce an
+    identifier-analyzed physical index (q_ident_index)."""
+    from mtix_spark.functions.text import ident_normalize, tokenize
+
+    cases = [s for s, _ in IDENT_CASES] + [
+        "a_b__c", "snake_then CamelCase mix.0f __X__", "UPPER lower_9Z",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    rows = df.select(
+        "i",
+        tokenize(ident_normalize(F.col("s"))).alias("composed"),
+        ident_tokenize(F.col("s")).alias("direct"),
+    ).collect()
+    for r in rows:
+        assert list(r["composed"]) == list(r["direct"]), cases[r["i"]]
+
+
 def test_ident_analyzer_search_unifies_styles(spark):
     """A camelCase query must hit snake_case / SCREAMING / dotted docs —
     the analyzer plumbs through expanded_bm25 via tokenizer=."""
