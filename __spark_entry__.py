@@ -3909,6 +3909,57 @@ def _decay_gauss_oracle() -> str:
     )
 
 
+COMPLETE_PREFIXES = [
+    (1, "s"),      # wide fan-out: popularity (df DESC) ordering must bite
+    (2, "va"),
+    (3, "fil"),
+    (4, "part"),   # exact term is its own completion
+    (5, "zzqq"),   # OOV -> no rows
+]
+COMPLETE_TOP = 5
+
+
+def q_completion_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (ES completion suggester): top-5 corpus terms
+    per prefix by (df DESC, term) — expand.complete_from_corpus."""
+    from mtix_spark.expand import complete_from_corpus
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return complete_from_corpus(docs, COMPLETE_PREFIXES, top=COMPLETE_TOP)
+
+
+def q_completion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same completions driven by the PHYSICAL index dictionary — a pure
+    prefix range scan over the term-ordered dictionary relation, the form
+    a serving system runs (cf. suggest_index). Shares the relational
+    oracle: dictionary df IS corpus df."""
+    from mtix_spark.expand import complete_terms
+    from mtix_spark.index.search import SegmentSearcher
+
+    paths = _docs_index(spark, sf_dir)
+    s = SegmentSearcher(spark, paths, persist=False)
+    return complete_terms(s.dictionary, COMPLETE_PREFIXES, top=COMPLETE_TOP)
+
+
+def _completion_oracle() -> str:
+    toks = TOK.format(c="text")
+    vals = ", ".join(f"({q}, '{p}')" for q, p in COMPLETE_PREFIXES)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+src(query_id, prefix) AS (VALUES {vals})
+SELECT query_id, completion, df, rank FROM (
+  SELECT query_id, term AS completion, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, term
+         )::BIGINT AS rank
+  FROM vocab JOIN src ON starts_with(term, prefix)
+) WHERE rank <= {COMPLETE_TOP}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -3941,6 +3992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_index": q_phrase_prefix_index,
         "term_vectors": q_term_vectors,
         "decay_gauss": q_decay_gauss,
+        "completion_prefix": q_completion_prefix,
+        "completion_index": q_completion_index,
         # new r05 capability: trigram substring/regex grep (index.trigram),
         # leading the window so the driver value-checks it immediately
         "trigram_postings": q_trigram_postings,
@@ -4137,6 +4190,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_prefix_index": _phrase_prefix_oracle(),
         "term_vectors": _term_vectors_oracle(),
         "decay_gauss": _decay_gauss_oracle(),
+        "completion_prefix": _completion_oracle(),
+        "completion_index": _completion_oracle(),
         "trigram_postings": """
 SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM (
   SELECT doc_id, substr(text, i, 3) AS gram

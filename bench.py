@@ -79,7 +79,7 @@ SUITE = [
     # r05 batch 2 — identifier analyzer, cross_fields blending, phrase
     # prefix (relational + positional index), term vectors, gauss decay
     "ident_match", "ident_index", "multi_match_cross", "phrase_prefix",
-    "phrase_prefix_index", "term_vectors", "decay_gauss",
+    "phrase_prefix_index", "term_vectors", "decay_gauss", "completion_index",
 ]
 
 

@@ -666,6 +666,55 @@ def suggest_from_corpus(
     return suggest_terms(vocab_df, sources, max_edits, top)
 
 
+def complete_terms(
+    vocab_df: DataFrame,
+    prefixes: list[tuple[int, str]],
+    top: int = 5,
+) -> DataFrame:
+    """(query_id, completion, df, rank) — prefix autocomplete (the ES
+    completion suggester re-expressed over the term dictionary): for each
+    prefix, the `top` dictionary terms starting with it, ranked by
+    popularity (df DESC) then term ASC. Distinct from `suggest_terms`
+    (typo correction, edit-distance ranking): completion is a pure prefix
+    range scan — sargable against the dictionary's term-ordered layout,
+    one dictionary pass serves all prefixes, no corpus access."""
+    spark = vocab_df.sparkSession
+    src = spark.createDataFrame(list(prefixes), "query_id long, prefix string")
+    cand = vocab_df.select("term", "df").join(
+        F.broadcast(src), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(
+            "query_id",
+            F.col("term").alias("completion"),
+            F.col("df").cast("long").alias("df"),
+            "rank",
+        )
+    )
+
+
+def complete_from_corpus(
+    docs: DataFrame,
+    prefixes: list[tuple[int, str]],
+    top: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational twin: derive (term, df) from the corpus, then complete."""
+    vocab_df = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return complete_terms(vocab_df, prefixes, top)
+
+
 def expanded_constant_score(
     docs: DataFrame,
     expanded: DataFrame,

@@ -220,6 +220,35 @@ def test_term_vectors_tf_and_corpus_df(spark):
     }
 
 
+def test_completion_popularity_ranking(spark):
+    """Prefix autocomplete: df DESC then term ASC, top cap, the exact term
+    completes itself, OOV prefix yields nothing."""
+    from mtix_spark.expand import complete_from_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apricot"),
+            (1, "apple apex"),
+            (2, "apple apex"),
+            (3, "apex"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["query_id"], r["rank"], r["completion"], r["df"])
+        for r in complete_from_corpus(
+            docs, [(1, "ap"), (2, "apple"), (3, "zz")], top=2
+        ).orderBy("query_id", "rank").collect()
+    ]
+    # df: apple=3, apex=3, apricot=1 -> tie apple/apex breaks term ASC;
+    # top=2 drops apricot
+    assert got == [
+        (1, 1, "apex", 3),
+        (1, 2, "apple", 3),
+        (2, 1, "apple", 3),
+    ]
+
+
 def test_gauss_decay_is_identity_at_origin(spark):
     """factor(origin) = 1, so at n_chars == origin the function-scored
     ranking equals plain BM25; off-origin the factor is strictly < 1 and
