@@ -66,6 +66,12 @@ SHOW = [
     "grep_regex",          # mandatory-literal gram classes → candidate regexp scan (r5)
     "percolate_terms",     # broadcast query-term join → one output-bounded agg (r5)
     "percolate_phrase",    # same + candidate-only token-stream verify (ReusedExchange) (r5)
+    "ident_match",         # analyzer as Column exprs inside the standard pushed plan (r5b2)
+    "multi_match_cross",   # per-field legs + broadcast blended-df dictionary → two-level agg (r5b2)
+    "phrase_prefix",       # adjacency chain + broadcast capped prefix expansion (r5b2)
+    "term_vectors",        # doc-id IN-pushed tf + broadcast semi-join-bounded df (r5b2)
+    "decay_gauss",         # gauss factor join after full-set scoring (function_score shape) (r5b2)
+    "completion_prefix",   # prefix scan of the (term, df) dictionary + per-prefix window (r5b2)
 ]
 
 
