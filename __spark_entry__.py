@@ -3909,6 +3909,89 @@ def _decay_gauss_oracle() -> str:
     )
 
 
+def q_mlt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this via the PHYSICAL index: the term-selection stage
+    (expand.mlt_expansion — the "stored term vectors" side a serving
+    system keeps per doc) feeds search_expanded_index, so the scoring leg
+    runs the MaxScore kernel over delta+varint postings. Source doc
+    excluded AFTER the dense→orig remap, before the re-rank; fetches the
+    usual k×5 tie margin +1 for the excluded source. Shares
+    more_like_this's oracle."""
+    from mtix_spark.expand import mlt_expansion, search_expanded_index
+    from mtix_spark.index.search import SegmentSearcher
+
+    docs = _tbl(spark, sf_dir, "documents")
+    exp = mlt_expansion(docs, MLT_SOURCE_IDS, m=MLT_M)
+    by_q: dict[int, list[str]] = {}
+    for r in exp.collect():  # bounded: |sources| × m rows
+        by_q.setdefault(int(r["query_id"]), []).append(r["term"])
+    paths = _docs_index(spark, sf_dir)
+    s = SegmentSearcher(spark, paths, persist=False)
+    res = search_expanded_index(s, sorted(by_q.items()), k=TOPK * 5 + 1)
+    docmap = spark.read.parquet(paths.docmap).select(
+        F.col("doc_id").alias("dense_id"), F.col("path").cast("long").alias("orig_id")
+    )
+    res = (
+        res.withColumnRenamed("doc_id", "dense_id")
+        .join(docmap, "dense_id")
+        .select("query_id", F.col("orig_id").alias("doc_id"), "score")
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+KNN_FILTER_LABEL = 1
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the ES kNN-with-filter contract): exact
+    cosine top-k restricted to candidates with label == KNN_FILTER_LABEL —
+    filter THEN top-k (a post-filtered unfiltered top-k would silently
+    return < k rows and wrong ranks), the predicate pushed to the
+    embedding scan."""
+    out = knn_cosine_brute(
+        _tbl(spark, sf_dir, "embeddings"),
+        KNN_QUERY_IDS,
+        k=TOPK,
+        corpus_filter=F.col("label") == KNN_FILTER_LABEL,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine"
+    )
+
+
+def _knn_filtered_oracle() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+    def dot(x, y):
+        return f"list_sum(list_transform(range(64), i -> {x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE))"
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot('q.qv', 'e.embedding')}
+               / (sqrt({dot('q.qv', 'q.qv')}) * sqrt({dot('e.embedding', 'e.embedding')})),
+               6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label = {KNN_FILTER_LABEL}
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 COMPLETE_PREFIXES = [
     (1, "s"),      # wide fan-out: popularity (df DESC) ordering must bite
     (2, "va"),
@@ -3994,6 +4077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_gauss": q_decay_gauss,
         "completion_prefix": q_completion_prefix,
         "completion_index": q_completion_index,
+        "mlt_index": q_mlt_index,
+        "knn_filtered": q_knn_filtered,
         # new r05 capability: trigram substring/regex grep (index.trigram),
         # leading the window so the driver value-checks it immediately
         "trigram_postings": q_trigram_postings,
@@ -4191,6 +4276,8 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _term_vectors_oracle(),
         "decay_gauss": _decay_gauss_oracle(),
         "completion_prefix": _completion_oracle(),
+        "mlt_index": _mlt_oracle(),
+        "knn_filtered": _knn_filtered_oracle(),
         "completion_index": _completion_oracle(),
         "trigram_postings": """
 SELECT gram, count(DISTINCT doc_id)::BIGINT AS df FROM (

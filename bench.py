@@ -80,6 +80,7 @@ SUITE = [
     # prefix (relational + positional index), term vectors, gauss decay
     "ident_match", "ident_index", "multi_match_cross", "phrase_prefix",
     "phrase_prefix_index", "term_vectors", "decay_gauss", "completion_index",
+    "mlt_index", "knn_filtered",
 ]
 
 

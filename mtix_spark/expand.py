@@ -235,6 +235,23 @@ def more_like_this(
     the source doc's term vector comes from the docmap/postings of one doc
     — a single term-sharded fetch.
     """
+    expansion = mlt_expansion(docs, source_ids, m, id_col, text_col)
+    return expanded_bm25(
+        docs, expansion, k, id_col, text_col, exclude_query_doc=True
+    )
+
+
+def mlt_expansion(
+    docs: DataFrame,
+    source_ids: list[int],
+    m: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, term): each source doc's top-`m` tf·idf terms — the
+    MoreLikeThis term-selection stage, shared by the relational scorer
+    above and the physical-index twin (which feeds it to
+    search_expanded_index)."""
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
@@ -249,13 +266,10 @@ def more_like_this(
         .withColumn("tfidf", F.round(F.col("tf") * idf, SCORE_DECIMALS))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    expansion = (
+    return (
         src.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= m)
         .select(F.col("doc_id").alias("query_id"), "term")
-    )
-    return expanded_bm25(
-        docs, expansion, k, id_col, text_col, exclude_query_doc=True
     )
 
 

@@ -56,6 +56,7 @@ def knn_cosine_brute(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_filter=None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for the given query ids (self excluded).
 
@@ -64,11 +65,18 @@ def knn_cosine_brute(
     at scale Spark executes the final step as TakeOrderedAndProject per
     query partition. Returns (query_id, rank, vec_id, cosine) with the
     fixed tie-break (cosine DESC, vec_id ASC); cosine rounded to 6.
-    """
+
+    `corpus_filter` (optional Column predicate) is the ES filtered-kNN
+    contract: it restricts the CANDIDATE side before scoring — filter
+    THEN top-k, never a post-filter of an unfiltered top-k — and being a
+    plain predicate on the corpus scan it pushes down to parquet. Query
+    vectors are still fetched from the unfiltered table (a query need not
+    satisfy its own filter)."""
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    pairs = embeddings.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    corpus = embeddings if corpus_filter is None else embeddings.filter(corpus_filter)
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col),

@@ -220,6 +220,36 @@ def test_term_vectors_tf_and_corpus_df(spark):
     }
 
 
+def test_knn_filtered_is_filter_then_topk(spark):
+    """Filtered kNN must restrict candidates BEFORE ranking: the nearest
+    neighbor overall is excluded by the filter, and the filtered top-k is
+    the full-depth ranking of the allowed set — not a post-filter of the
+    unfiltered top-k (which would drop rows instead of refilling)."""
+    from mtix_spark.similarity import knn_cosine_brute
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * 61
+
+    rows = [
+        (0, vec(1, 0, 0), 0),   # query
+        (1, vec(1, 0.01, 0), 0),  # nearest overall — filtered OUT
+        (2, vec(1, 0.2, 0), 1),
+        (3, vec(1, 0.5, 0), 1),
+        (4, vec(0, 1, 0), 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in knn_cosine_brute(
+            emb, [0], k=2, corpus_filter=F.col("label") == 1
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(1, 2), (2, 3)]
+    # unfiltered: vec 1 leads
+    un = knn_cosine_brute(emb, [0], k=1).collect()
+    assert un[0]["vec_id"] == 1
+
+
 def test_completion_popularity_ranking(spark):
     """Prefix autocomplete: df DESC then term ASC, top cap, the exact term
     completes itself, OOV prefix yields nothing."""
